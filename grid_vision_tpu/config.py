@@ -1,0 +1,175 @@
+"""Configuration for the grid-vision TPU engine.
+
+Mirrors the reference node's 23 declared ROS parameters key-for-key
+(reference: src/grid_vision_node.cpp:8-32 declares the defaults;
+config/grid_vision_cfg.yaml:1-24 overrides them), plus TPU-specific
+capacity/padding knobs that have no reference equivalent (the reference
+uses dynamically sized std::vectors; XLA requires static shapes).
+
+Everything in this dataclass is *static* configuration: it is hashable and
+is closed over by the jitted ``step`` function, so changing any field
+triggers a recompile (exactly like changing a ROS parameter required a
+node restart in practice).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class GridVisionConfig:
+    # ------------------------------------------------------------------
+    # Keys mirrored 1:1 from config/grid_vision_cfg.yaml (reference names).
+    # Topics/frames/weight paths are host-side concerns; kept for config
+    # file compatibility but unused inside the jitted step.
+    # ------------------------------------------------------------------
+    image_topic: str = "/carla/hero/front/image"
+    lidar_topic: str = "/carla/hero/lidar"
+    detection_weights_file: str = ""
+    vision_weights_file: str = ""
+    lidar_frame: str = "hero/lidar"
+    camera_frame: str = "hero/front"
+    base_frame: str = "hero"
+
+    camera_image_height: int = 480   # cam_params_.orig_h (grid_vision_node.cpp:25)
+    camera_image_width: int = 640    # cam_params_.orig_w (:26)
+    network_height: int = 224        # orientation net input (:27)
+    network_width: int = 224         # (:28)
+    confidence_threshold: float = 0.6  # (:15, yaml:13)
+    iou_threshold: float = 0.6         # (:16, yaml:14)
+    fx: float = 320.0
+    fy: float = 320.0
+    cx: float = 320.0
+    cy: float = 240.0
+    k_near: int = 4                  # yaml:20 (code default is 10, :18 — quirk Q9)
+    grid_x: int = 50                 # meters (uint8 in reference)
+    grid_y: int = 20
+    resolution: float = 0.1
+    use_vision_orientation: bool = True
+
+    # detection_network_input_size — declared at grid_vision_node.cpp:17
+    # (named ``resize_`` in the node), absent from the YAML so the code
+    # default 416 always applies.
+    detection_network_input_size: int = 416
+
+    # ------------------------------------------------------------------
+    # Static capacities (TPU-only: fixed shapes for XLA).
+    # ------------------------------------------------------------------
+    max_points: int = 16384          # padded point-cloud capacity P
+    max_detections: int = 64         # padded post-NMS box capacity D
+    max_candidates: int = 256        # boxes kept after confidence threshold,
+                                     # pre-NMS (top-k by confidence)
+    max_orientation_batch: int = 8   # reference TRT max_batch_size_ = 8
+                                     # (vision_orientation.hpp:53); unlike the
+                                     # reference we clamp instead of
+                                     # overflowing (quirk Q7).
+    max_points_per_box: int = 1024   # per-box sub-cloud capacity for the PCA
+                                     # path (reference keeps all points;
+                                     # we cap and log when truncating)
+    ransac_iters: int = 128          # RANSAC plane hypotheses (PCL default
+                                     # max_iterations_ = 50; we use more,
+                                     # evaluated in parallel, deterministic)
+    ransac_distance_threshold: float = 0.04  # cloud_detections.cpp:117
+    outlier_radius: float = 0.4              # cloud_detections.cpp:152
+    outlier_min_neighbors: int = 10          # cloud_detections.cpp:153
+
+    # Occupancy-grid constants (occupancy_grid.hpp:25-31 and the hardcoded
+    # +0.85 at occupancy_grid.cpp:182 — see quirk Q2: log_odds_free_ and
+    # log_odds_occupied_ are declared in the reference but never used).
+    log_odds_prior: float = 0.0
+    init_probability: float = 0.5
+    log_odds_decay: float = -0.2
+    min_log_odds: float = -2.0
+    max_log_odds: float = 3.6
+    log_odds_hit: float = 0.85       # the hardcoded occupied increment
+
+    # ------------------------------------------------------------------
+    # Engine behavior flags (no reference equivalent).
+    # ------------------------------------------------------------------
+    compat: bool = True              # preserve reference quirks Q1-Q11 exactly
+    raycast_free_space: bool = False # extension: DDA raycast carving
+                                     # (must be False for bit-compat — Q2)
+    compute_dtype: str = "float32"   # "bfloat16" for fast conv path
+
+    # ------------------------------------------------------------------
+    # Derived geometry (grid_map semantics).
+    # ------------------------------------------------------------------
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        """Grid buffer size (cells_x, cells_y).
+
+        grid_map::GridMap::setGeometry computes size = round(length /
+        resolution) per axis (occupancy_grid.cpp:10 passes Length(grid_x,
+        grid_y) and resolution).
+        """
+        return (
+            int(round(self.grid_x / self.resolution)),
+            int(round(self.grid_y / self.resolution)),
+        )
+
+    @property
+    def grid_center(self) -> Tuple[float, float]:
+        """Map center position in the base frame.
+
+        The reference sets setPosition(grid_x / 3, 0.0) with integer
+        division on a uint8 (occupancy_grid.cpp:11) — quirk Q8: a 50 m map
+        is centered 16 m (not 16.67 m) ahead of the robot.
+        """
+        return (float(self.grid_x // 3), 0.0)
+
+    @property
+    def resize(self) -> int:
+        """Detector input size alias matching the node's ``resize_``."""
+        return self.detection_network_input_size
+
+    def validate(self) -> "GridVisionConfig":
+        if math.isclose(self.resolution, 0.0):
+            raise ValueError("resolution must be nonzero")
+        sx, sy = self.grid_size
+        if sx <= 0 or sy <= 0:
+            raise ValueError(f"degenerate grid size {(sx, sy)}")
+        if not (0.0 <= self.confidence_threshold <= 1.0):
+            raise ValueError("confidence_threshold must be in [0, 1]")
+        if not (0.0 <= self.iou_threshold <= 1.0):
+            raise ValueError("iou_threshold must be in [0, 1]")
+        if self.max_candidates < self.max_detections:
+            raise ValueError("max_candidates must be >= max_detections")
+        for name in ("max_points", "max_detections", "k_near", "ransac_iters"):
+            if getattr(self, name) <= 0:
+                raise ValueError(f"{name} must be positive")
+        return self
+
+
+_YAML_KEYS = {f.name for f in dataclasses.fields(GridVisionConfig)}
+
+
+def load_config(path: str, **overrides) -> GridVisionConfig:
+    """Load a GridVisionConfig from a ROS-2-style parameter YAML.
+
+    Accepts both the reference layout::
+
+        /**:
+          ros__parameters:
+            image_topic: ...
+
+    and a flat ``key: value`` mapping. Unknown keys raise (like ROS 2
+    rejects undeclared parameters at launch).
+    """
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    # Unwrap ROS 2 node-name / ros__parameters nesting.
+    if len(raw) == 1:
+        inner = next(iter(raw.values()))
+        if isinstance(inner, dict) and "ros__parameters" in inner:
+            raw = inner["ros__parameters"]
+    raw = dict(raw)
+    raw.update(overrides)
+    unknown = set(raw) - _YAML_KEYS
+    if unknown:
+        raise KeyError(f"unknown config keys: {sorted(unknown)}")
+    return GridVisionConfig(**raw).validate()

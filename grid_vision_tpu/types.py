@@ -1,0 +1,267 @@
+"""Pytree value types for the engine.
+
+Everything that crosses the jit boundary is one of these fixed-shape,
+mask-carrying pytrees. They replace the reference's dynamically sized
+std::vector<BoundingBox> / pcl::PointCloud / grid_map::GridMap with padded
+arrays + validity masks (XLA needs static shapes; masking replaces the
+reference's data-dependent branches).
+
+Reference counterparts:
+  Boxes      <-> std::vector<BoundingBox>   (object_detection.hpp:27-32)
+  PointCloud <-> pcl::PointCloud<PointXYZI> (grid_vision_node.hpp:61)
+  LShapePoses<-> std::vector<LShapePose>    (cloud_detections.hpp:19-25)
+  GridState  <-> OccupancyGridMap.grid_map_ (occupancy_grid.hpp:22)
+  Obs        <-> (init_image_, cloud_) latest-frame buffers
+                 (grid_vision_node.cpp:79-106)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import GridVisionConfig
+
+
+def pytree_dataclass(cls):
+    """Frozen dataclass registered as a JAX pytree (all fields are leaves)."""
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@pytree_dataclass
+class Boxes:
+    """Padded 2D detections in pixel space (SoA layout).
+
+    xyxy: (D, 4) float32 [x_min, y_min, x_max, y_max]
+    confidence: (D,) float32
+    label: (D,) int32 class ids (ObjectClass)
+    valid: (D,) bool
+    """
+
+    xyxy: jnp.ndarray
+    confidence: jnp.ndarray
+    label: jnp.ndarray
+    valid: jnp.ndarray
+
+    @staticmethod
+    def empty(capacity: int) -> "Boxes":
+        return Boxes(
+            xyxy=jnp.zeros((capacity, 4), jnp.float32),
+            confidence=jnp.zeros((capacity,), jnp.float32),
+            label=jnp.full((capacity,), 10, jnp.int32),  # UNKNOWN
+            valid=jnp.zeros((capacity,), bool),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.xyxy.shape[-2]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
+
+    def centers(self) -> jnp.ndarray:
+        """Box centers, matching computeDepthForBoundingBoxes's
+        ``min + (max - min)/2`` form (cloud_detections.cpp:57-58)."""
+        lo = self.xyxy[..., 0:2]
+        hi = self.xyxy[..., 2:4]
+        return lo + (hi - lo) / 2.0
+
+
+@pytree_dataclass
+class PointCloud:
+    """Padded point cloud, packed valid-first.
+
+    xyz: (P, 3) float32; intensity: (P,) float32; count: () int32.
+    Points at index >= count are padding (the host packer writes a large
+    sentinel so padded points never project into the image or win RANSAC).
+    """
+
+    xyz: jnp.ndarray
+    intensity: jnp.ndarray
+    count: jnp.ndarray
+
+    PAD_SENTINEL = 1.0e8
+
+    @staticmethod
+    def empty(capacity: int) -> "PointCloud":
+        return PointCloud(
+            xyz=jnp.full((capacity, 3), PointCloud.PAD_SENTINEL, jnp.float32),
+            intensity=jnp.zeros((capacity,), jnp.float32),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    @staticmethod
+    def from_numpy(xyz: np.ndarray, intensity: np.ndarray | None,
+                   capacity: int) -> "PointCloud":
+        """Host-side packer: drops non-finite points, packs valid-first,
+        pads with the sentinel, truncates at capacity."""
+        xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
+        if intensity is None:
+            intensity = np.zeros((xyz.shape[0],), np.float32)
+        intensity = np.asarray(intensity, np.float32).reshape(-1)
+        finite = np.isfinite(xyz).all(axis=1)
+        xyz, intensity = xyz[finite], intensity[finite]
+        n = min(xyz.shape[0], capacity)
+        out_xyz = np.full((capacity, 3), PointCloud.PAD_SENTINEL, np.float32)
+        out_int = np.zeros((capacity,), np.float32)
+        out_xyz[:n] = xyz[:n]
+        out_int[:n] = intensity[:n]
+        return PointCloud(
+            xyz=jnp.asarray(out_xyz),
+            intensity=jnp.asarray(out_int),
+            count=jnp.asarray(n, jnp.int32),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[-2]
+
+    def mask(self) -> jnp.ndarray:
+        idx = jnp.arange(self.capacity)
+        return idx < self.count
+
+
+@pytree_dataclass
+class LShapePoses:
+    """Padded 3D object poses (SoA of reference LShapePose structs).
+
+    position: (N, 3); quat: (N, 4) xyzw; length/width/height: (N,);
+    label: (N,) int32; valid: (N,) bool.
+    """
+
+    position: jnp.ndarray
+    quat: jnp.ndarray
+    length: jnp.ndarray
+    width: jnp.ndarray
+    height: jnp.ndarray
+    label: jnp.ndarray
+    valid: jnp.ndarray
+
+    @staticmethod
+    def empty(capacity: int) -> "LShapePoses":
+        quat = jnp.zeros((capacity, 4), jnp.float32).at[:, 3].set(1.0)
+        return LShapePoses(
+            position=jnp.zeros((capacity, 3), jnp.float32),
+            quat=quat,
+            length=jnp.zeros((capacity,), jnp.float32),
+            width=jnp.zeros((capacity,), jnp.float32),
+            height=jnp.zeros((capacity,), jnp.float32),
+            label=jnp.full((capacity,), 10, jnp.int32),
+            valid=jnp.zeros((capacity,), bool),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.position.shape[-2]
+
+
+@pytree_dataclass
+class GridState:
+    """Occupancy-grid state: the only persistent state of the engine.
+
+    log_odds / occupancy: (H, W) float32 where H = cells along x (forward),
+    W = cells along y (lateral) in grid_map buffer order (index (0,0) is
+    the max-x/max-y corner; see geometry.grid_index_from_position).
+    rng: PRNG key consumed by RANSAC each step.
+    step: () int32 monotonic step counter.
+    """
+
+    log_odds: jnp.ndarray
+    occupancy: jnp.ndarray
+    rng: jnp.ndarray
+    step: jnp.ndarray
+
+    @staticmethod
+    def create(cfg: GridVisionConfig, seed: int = 0) -> "GridState":
+        h, w = cfg.grid_size
+        return GridState(
+            log_odds=jnp.full((h, w), cfg.log_odds_prior, jnp.float32),
+            occupancy=jnp.full((h, w), cfg.init_probability, jnp.float32),
+            rng=jax.random.PRNGKey(seed),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+@pytree_dataclass
+class Obs:
+    """One fused observation (latest camera frame + latest LiDAR scan).
+
+    image: (H, W, 3) float32 RGB in [0, 255] (cv_bridge "rgb8" semantics,
+    grid_vision_node.cpp:84, held as float for TPU friendliness).
+    has_image / has_cloud: () bool — the reference's empty() checks
+    (grid_vision_node.cpp:111, quirk Q1: the gate is && so a frame with
+    either input present still runs).
+    """
+
+    image: jnp.ndarray
+    cloud: PointCloud
+    has_image: jnp.ndarray
+    has_cloud: jnp.ndarray
+
+    @staticmethod
+    def create(cfg: GridVisionConfig, image=None, cloud=None) -> "Obs":
+        if image is None:
+            image = jnp.zeros(
+                (cfg.camera_image_height, cfg.camera_image_width, 3),
+                jnp.float32,
+            )
+            has_image = jnp.asarray(False)
+        else:
+            image = jnp.asarray(image, jnp.float32)
+            has_image = jnp.asarray(True)
+        if cloud is None:
+            cloud = PointCloud.empty(cfg.max_points)
+            has_cloud = jnp.asarray(False)
+        else:
+            has_cloud = cloud.count > 0
+        return Obs(image=image, cloud=cloud, has_image=has_image,
+                   has_cloud=has_cloud)
+
+
+@pytree_dataclass
+class Extrinsics:
+    """Static frame tree replacing the reference's TF2 lookups
+    (grid_vision_node.cpp:280-307, 337-382).
+
+    Each transform is a 4x4 homogeneous matrix mapping source-frame points
+    into the target frame.
+    """
+
+    lidar_to_camera: jnp.ndarray  # T such that p_cam = T @ p_lidar
+    camera_to_base: jnp.ndarray   # T such that p_base = T @ p_cam
+
+    @staticmethod
+    def identity() -> "Extrinsics":
+        eye = jnp.eye(4, dtype=jnp.float32)
+        return Extrinsics(lidar_to_camera=eye, camera_to_base=eye)
+
+
+@pytree_dataclass
+class StepOutput:
+    """Everything the reference publishes per tick, as arrays.
+
+    boxes: final 2D detections (the annotated-image publish's content,
+    grid_vision_node.cpp:239); poses: L-shape 3D objects (markers, :243);
+    static_points: base-frame 3D positions of static detections (:183);
+    static_boxes: the static split (marker labels); occupancy_i8: the
+    nav_msgs/OccupancyGrid export, int8 0..100 (:240 via
+    GridMapRosConverter::toOccupancyGrid(grid, "occupancy", 0.0, 1.0)).
+    """
+
+    boxes: Boxes
+    poses: LShapePoses
+    static_points: jnp.ndarray
+    static_boxes: Boxes
+    occupancy_i8: jnp.ndarray
+
+
+def tree_stack(items):
+    """Stack a list of identical pytrees along a new leading axis (rigs)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *items)
