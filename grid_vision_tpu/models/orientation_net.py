@@ -1,0 +1,112 @@
+"""MultiBin 3D-box regression network (the VisionOrientation model).
+
+The reference executes a prebuilt TensorRT engine whose architecture is
+unrecoverable — only its I/O contract survives
+(src/vision_orientation.cpp:192-239): input [N, 3, 224, 224] float
+(per-image per-channel standardized crops), outputs ``orientation``
+[N, 2, 2] (cos/sin per angle bin), ``confidence`` [N, 2], ``dimension``
+[N, 3] (residuals vs per-class averages). This module defines a
+Deep3DBox-style network honoring that contract: a compact ResNet-18
+backbone + three heads, with the orientation head L2-normalized per bin
+(so atan2(sin, cos) in the post-processing is well-posed, matching the
+published MultiBin formulation the engine implements).
+
+TPU-first: NHWC, bfloat16 conv compute, f32 heads. Batch capacity is the
+reference's max_batch_size_ = 8 (vision_orientation.hpp:53) but any
+static batch works.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class OrientationConfig:
+    bins: int = 2
+    input_size: int = 224
+    compute_dtype: Any = jnp.bfloat16
+    width: int = 64  # stem width; stages are width * (1, 2, 4, 8)
+
+
+class ResBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.relu(y).astype(self.dtype)
+        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.features, (1, 1),
+                               (self.stride, self.stride), use_bias=False,
+                               dtype=self.dtype,
+                               param_dtype=jnp.float32)(residual)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    dtype=jnp.float32)(residual)
+        return nn.relu(y + residual).astype(self.dtype)
+
+
+class OrientationNet(nn.Module):
+    cfg: OrientationConfig = OrientationConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        d = c.compute_dtype
+        x = x.astype(d)
+        x = nn.Conv(c.width, (7, 7), (2, 2), padding="SAME", use_bias=False,
+                    dtype=d, param_dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+        x = nn.relu(x).astype(d)
+        x = nn.max_pool(x, (3, 3), (2, 2), padding="SAME")
+        for i, mult in enumerate((1, 2, 4, 8)):
+            stride = 1 if i == 0 else 2
+            x = ResBlock(c.width * mult, stride, dtype=d)(x, train)
+            x = ResBlock(c.width * mult, 1, dtype=d)(x, train)
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # global avg pool
+
+        # Three heads (Deep3DBox): orientation (bins, 2) L2-normalized,
+        # bin confidence (bins,), dimension residuals (3,).
+        orient = nn.Dense(256, name="orient_fc1")(x)
+        orient = nn.relu(orient)
+        orient = nn.Dense(c.bins * 2, name="orient_fc2")(orient)
+        orient = orient.reshape(x.shape[0], c.bins, 2)
+        norm = jnp.linalg.norm(orient, axis=-1, keepdims=True)
+        orient = orient / jnp.maximum(norm, 1e-8)
+
+        conf = nn.Dense(256, name="conf_fc1")(x)
+        conf = nn.relu(conf)
+        conf = nn.Dense(c.bins, name="conf_fc2")(conf)
+
+        dims = nn.Dense(512, name="dim_fc1")(x)
+        dims = nn.relu(dims)
+        dims = nn.Dense(3, name="dim_fc2")(dims)
+        return orient, conf, dims
+
+
+def init_params(rng: jax.Array, cfg: OrientationConfig = OrientationConfig()):
+    model = OrientationNet(cfg)
+    dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32)
+    return model.init(rng, dummy, train=False)
+
+
+def forward(variables, crops: jnp.ndarray,
+            cfg: OrientationConfig = OrientationConfig()):
+    """crops (N, 224, 224, 3) standardized -> (orient (N, 2, 2),
+    conf (N, 2), dims (N, 3))."""
+    model = OrientationNet(cfg)
+    return model.apply(variables, crops, train=False)
