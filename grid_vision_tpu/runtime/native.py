@@ -1,0 +1,236 @@
+"""ctypes binding for the native host runtime (runtime_cc/).
+
+Provides the C++ implementations of the host-side hot path — sensor
+mailboxes (the reference's latest-wins DDS buffers), PointCloud2-style
+binary packing into the engine's fixed-capacity layout, a second
+independent grid oracle for parity checks, and PGM snapshot export.
+
+The library is built lazily with ``make -C runtime_cc`` on first use if
+the .so is missing; everything degrades to pure-NumPy fallbacks when no
+compiler is available (keeps CI / minimal images working).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_CC_DIR = os.path.join(_REPO_ROOT, "runtime_cc")
+_SO_PATH = os.path.join(_CC_DIR, "libgridvision_host.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+PAD_SENTINEL = 1.0e8
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(["make", "-C", _CC_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+
+    lib.gv_mailbox_write.restype = ctypes.c_uint64
+    lib.gv_mailbox_write.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.c_uint64]
+    lib.gv_mailbox_read.restype = ctypes.c_int64
+    lib.gv_mailbox_read.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64)]
+    lib.gv_mailbox_seq.restype = ctypes.c_uint64
+    lib.gv_mailbox_seq.argtypes = [ctypes.c_int]
+    lib.gv_pack_cloud.restype = ctypes.c_int64
+    lib.gv_pack_cloud.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.gv_pack_cloud_transform.restype = ctypes.c_int64
+    lib.gv_pack_cloud_transform.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64]
+    lib.gv_grid_update.restype = None
+    lib.gv_grid_update.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float]
+    lib.gv_write_pgm.restype = ctypes.c_int
+    lib.gv_write_pgm.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int8), ctypes.c_int,
+        ctypes.c_int]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _f32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+# ---------------------------------------------------------------------------
+# Mailboxes
+# ---------------------------------------------------------------------------
+
+class Mailbox:
+    """Latest-wins frame buffer (the reference's imageCallback /
+    cloudCallback overwrite semantics, grid_vision_node.cpp:79-106)."""
+
+    _next_id = 0
+
+    def __init__(self):
+        lib = _load()
+        if lib is None:
+            self._frame = None
+            self._seq = 0
+            self._id = -1
+        else:
+            self._id = Mailbox._next_id
+            Mailbox._next_id += 1
+            if self._id >= 64:
+                raise RuntimeError("too many native mailboxes")
+        self._lib = lib
+
+    def write(self, data: bytes, stamp_ns: int = 0) -> int:
+        if self._lib is None:
+            self._frame = (bytes(data), stamp_ns)
+            self._seq += 1
+            return self._seq
+        buf = np.frombuffer(data, np.uint8)
+        return self._lib.gv_mailbox_write(self._id, _u8ptr(buf), len(buf),
+                                          stamp_ns)
+
+    def read(self):
+        """Returns (bytes, stamp_ns) of the latest frame, or None."""
+        if self._lib is None:
+            return self._frame
+        size = self._lib.gv_mailbox_read(
+            self._id, ctypes.POINTER(ctypes.c_uint8)(), -1,
+            ctypes.POINTER(ctypes.c_uint64)())
+        if size <= 0:
+            return None
+        out = np.empty(size, np.uint8)
+        stamp = ctypes.c_uint64(0)
+        n = self._lib.gv_mailbox_read(self._id, _u8ptr(out), size,
+                                      ctypes.byref(stamp))
+        if n <= 0:
+            return None
+        return out.tobytes(), stamp.value
+
+    @property
+    def seq(self) -> int:
+        if self._lib is None:
+            return self._seq
+        return self._lib.gv_mailbox_seq(self._id)
+
+
+# ---------------------------------------------------------------------------
+# Cloud packing
+# ---------------------------------------------------------------------------
+
+def pack_cloud(blob: bytes, n_points: int, stride: int, xyz_off: int,
+               intensity_off: int, capacity: int,
+               transform: Optional[np.ndarray] = None):
+    """PointCloud2-style binary -> (xyz (cap,3) f32, intensity (cap,) f32,
+    count) packed valid-first with sentinel padding. Optional fused 4x4
+    rigid transform (row-major)."""
+    lib = _load()
+    out_xyz = np.empty((capacity, 3), np.float32)
+    out_int = np.empty((capacity,), np.float32)
+    if lib is not None:
+        buf = np.frombuffer(blob, np.uint8)
+        if transform is None:
+            n = lib.gv_pack_cloud(_u8ptr(buf), n_points, stride, xyz_off,
+                                  intensity_off, _f32ptr(out_xyz),
+                                  _f32ptr(out_int), capacity)
+        else:
+            t = np.ascontiguousarray(transform, np.float32)
+            n = lib.gv_pack_cloud_transform(
+                _u8ptr(buf), n_points, stride, xyz_off, intensity_off,
+                _f32ptr(t), _f32ptr(out_xyz), _f32ptr(out_int), capacity)
+        return out_xyz, out_int, int(n)
+
+    # NumPy fallback
+    raw = np.frombuffer(blob, np.uint8)[: n_points * stride]
+    raw = raw.reshape(n_points, stride)
+    xyz = raw[:, xyz_off:xyz_off + 12].copy().view(np.float32)
+    inten = (raw[:, intensity_off:intensity_off + 4].copy().view(np.float32)[:, 0]
+             if intensity_off >= 0 else np.zeros(n_points, np.float32))
+    finite = np.isfinite(xyz).all(axis=1)
+    xyz, inten = xyz[finite], np.where(np.isfinite(inten[finite]),
+                                       inten[finite], 0.0)
+    if transform is not None:
+        xyz = xyz @ np.asarray(transform, np.float32)[:3, :3].T + \
+            np.asarray(transform, np.float32)[:3, 3]
+    n = min(len(xyz), capacity)
+    out_xyz.fill(PAD_SENTINEL)
+    out_int.fill(0.0)
+    out_xyz[:n] = xyz[:n]
+    out_int[:n] = inten[:n]
+    return out_xyz, out_int, n
+
+
+# ---------------------------------------------------------------------------
+# Native grid oracle + PGM export
+# ---------------------------------------------------------------------------
+
+def grid_update_native(log_odds: np.ndarray, boxes: np.ndarray, *,
+                       center, length, resolution, decay, hit, lo_min,
+                       lo_max):
+    """In-place native grid update. boxes: (N, 4) [px, py, length, width].
+    Returns (log_odds, occupancy). Raises if the native lib is missing."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    lo = np.ascontiguousarray(log_odds, np.float32)
+    occ = np.empty_like(lo)
+    b = np.ascontiguousarray(boxes, np.float32)
+    lib.gv_grid_update(
+        _f32ptr(lo), _f32ptr(occ), lo.shape[0], lo.shape[1],
+        float(center[0]), float(center[1]), float(length[0]),
+        float(length[1]), float(resolution), _f32ptr(b), b.shape[0],
+        float(decay), float(hit), float(lo_min), float(lo_max))
+    return lo, occ
+
+
+def write_pgm(path: str, grid_i8: np.ndarray) -> None:
+    """Occupancy int8 [0,100] -> PGM snapshot (occupied = dark)."""
+    lib = _load()
+    g = np.ascontiguousarray(grid_i8, np.int8)
+    if lib is not None:
+        rc = lib.gv_write_pgm(path.encode(), g.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int8)), g.shape[0], g.shape[1])
+        if rc != 0:
+            raise IOError(f"gv_write_pgm failed for {path}")
+        return
+    vals = g.astype(np.int32)
+    px = np.where(vals < 0, 127, 255 - (vals * 255) // 100).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"P5\n%d %d\n255\n" % (g.shape[1], g.shape[0]))
+        f.write(px.tobytes())

@@ -1,0 +1,267 @@
+// gridvision_host: native host-side runtime for the TPU engine.
+//
+// The reference's runtime shell is a C++ ROS 2 node: DDS subscriptions
+// with latest-wins frame buffers (src/grid_vision_node.cpp:79-106),
+// pcl::fromROSMsg ingestion, and RViz as the output surface. This library
+// is its TPU-native counterpart: the pieces that must stay on the host
+// (sensor ingestion, binary parsing, fixed-capacity packing for XLA,
+// snapshot export) implemented natively and bound to Python via ctypes.
+//
+// Components:
+//   1. Latest-frame mailboxes (single-producer single-consumer, overwrite
+//      semantics == the reference's queue-depth-1 subscriptions).
+//   2. PointCloud2-style binary -> fixed-capacity packed float32 arrays
+//      (valid-first + sentinel padding, the layout types.PointCloud
+//      expects), with non-finite filtering done in one pass.
+//   3. A scalar occupancy-grid oracle (grid_map-exact index math, decay/
+//      raster/clamp/sigmoid) for CPU parity checks of the XLA kernels.
+//   4. PGM writer for grid snapshots (the headless replacement for the
+//      reference's RViz occupancy display).
+//
+// Build: make -C runtime_cc   (produces libgridvision_host.so)
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <vector>
+
+namespace {
+
+constexpr float kPadSentinel = 1.0e8f;
+
+// ---------------------------------------------------------------------------
+// 1. Latest-frame mailbox
+// ---------------------------------------------------------------------------
+// Overwrite-on-write, read-latest: the DDS latest-frame semantics of the
+// reference's image/cloud callbacks. A sequence lock lets the consumer
+// detect torn reads without blocking the producer.
+
+struct Mailbox {
+  std::vector<uint8_t> buf[2];
+  std::atomic<uint64_t> seq{0};   // even: stable; odd: writing
+  std::atomic<int> latest{-1};
+  std::mutex write_mu;
+  uint64_t stamp_ns = 0;
+};
+
+constexpr int kMaxMailboxes = 64;
+Mailbox g_mailboxes[kMaxMailboxes];
+
+}  // namespace
+
+extern "C" {
+
+// Publish a frame into mailbox `id`. Returns the new sequence number.
+uint64_t gv_mailbox_write(int id, const uint8_t* data, int64_t size,
+                          uint64_t stamp_ns) {
+  if (id < 0 || id >= kMaxMailboxes || size < 0) return 0;
+  Mailbox& m = g_mailboxes[id];
+  std::lock_guard<std::mutex> lock(m.write_mu);
+  // latest is -1 before the first write; write into the other slot.
+  int slot = m.latest.load(std::memory_order_relaxed) == 0 ? 1 : 0;
+  m.buf[slot].assign(data, data + size);
+  uint64_t s = m.seq.fetch_add(1, std::memory_order_acq_rel) + 1;
+  m.latest.store(slot, std::memory_order_release);
+  m.stamp_ns = stamp_ns;
+  m.seq.fetch_add(1, std::memory_order_acq_rel);
+  return s / 2 + 1;
+}
+
+// Read the latest frame. Returns bytes copied (0 if empty or `cap` too
+// small; negative size means "tell me the size": returns required size).
+int64_t gv_mailbox_read(int id, uint8_t* out, int64_t cap,
+                        uint64_t* stamp_ns) {
+  if (id < 0 || id >= kMaxMailboxes) return 0;
+  Mailbox& m = g_mailboxes[id];
+  for (int attempt = 0; attempt < 64; ++attempt) {
+    uint64_t s0 = m.seq.load(std::memory_order_acquire);
+    if (s0 & 1) continue;  // writer active
+    int slot = m.latest.load(std::memory_order_acquire);
+    if (slot < 0) return 0;
+    const std::vector<uint8_t>& b = m.buf[slot];
+    int64_t n = static_cast<int64_t>(b.size());
+    if (cap < 0) return n;
+    if (n > cap) return -n;
+    std::memcpy(out, b.data(), n);
+    if (stamp_ns) *stamp_ns = m.stamp_ns;
+    uint64_t s1 = m.seq.load(std::memory_order_acquire);
+    if (s0 == s1) return n;  // no tear
+  }
+  return 0;
+}
+
+uint64_t gv_mailbox_seq(int id) {
+  if (id < 0 || id >= kMaxMailboxes) return 0;
+  return g_mailboxes[id].seq.load(std::memory_order_acquire) / 2;
+}
+
+// ---------------------------------------------------------------------------
+// 2. Point-cloud packing
+// ---------------------------------------------------------------------------
+// Parse an interleaved binary point blob (PointCloud2-style: `stride`
+// bytes per point, float32 x/y/z at `xyz_off`, optional float32 intensity
+// at `int_off`, -1 if absent), drop non-finite points, pack valid-first
+// into (capacity, 3) xyz + (capacity,) intensity with sentinel padding.
+// Returns the number of valid points packed.
+int64_t gv_pack_cloud(const uint8_t* blob, int64_t n_points, int stride,
+                      int xyz_off, int int_off, float* out_xyz,
+                      float* out_intensity, int64_t capacity) {
+  int64_t n = 0;
+  for (int64_t i = 0; i < n_points && n < capacity; ++i) {
+    const uint8_t* p = blob + i * stride;
+    float xyz[3];
+    std::memcpy(xyz, p + xyz_off, 12);
+    if (!std::isfinite(xyz[0]) || !std::isfinite(xyz[1]) ||
+        !std::isfinite(xyz[2]))
+      continue;
+    out_xyz[n * 3 + 0] = xyz[0];
+    out_xyz[n * 3 + 1] = xyz[1];
+    out_xyz[n * 3 + 2] = xyz[2];
+    if (int_off >= 0) {
+      float inten;
+      std::memcpy(&inten, p + int_off, 4);
+      out_intensity[n] = std::isfinite(inten) ? inten : 0.0f;
+    } else {
+      out_intensity[n] = 0.0f;
+    }
+    ++n;
+  }
+  for (int64_t i = n; i < capacity; ++i) {
+    out_xyz[i * 3 + 0] = kPadSentinel;
+    out_xyz[i * 3 + 1] = kPadSentinel;
+    out_xyz[i * 3 + 2] = kPadSentinel;
+    out_intensity[i] = 0.0f;
+  }
+  return n;
+}
+
+// Same, applying a 4x4 row-major rigid transform while packing (fuses the
+// reference's transformLidarToCamera host pass into ingest).
+int64_t gv_pack_cloud_transform(const uint8_t* blob, int64_t n_points,
+                                int stride, int xyz_off, int int_off,
+                                const float* T_rowmajor, float* out_xyz,
+                                float* out_intensity, int64_t capacity) {
+  const float* T = T_rowmajor;
+  int64_t n = 0;
+  for (int64_t i = 0; i < n_points && n < capacity; ++i) {
+    const uint8_t* p = blob + i * stride;
+    float v[3];
+    std::memcpy(v, p + xyz_off, 12);
+    if (!std::isfinite(v[0]) || !std::isfinite(v[1]) || !std::isfinite(v[2]))
+      continue;
+    out_xyz[n * 3 + 0] = T[0] * v[0] + T[1] * v[1] + T[2] * v[2] + T[3];
+    out_xyz[n * 3 + 1] = T[4] * v[0] + T[5] * v[1] + T[6] * v[2] + T[7];
+    out_xyz[n * 3 + 2] = T[8] * v[0] + T[9] * v[1] + T[10] * v[2] + T[11];
+    if (int_off >= 0) {
+      float inten;
+      std::memcpy(&inten, p + int_off, 4);
+      out_intensity[n] = std::isfinite(inten) ? inten : 0.0f;
+    } else {
+      out_intensity[n] = 0.0f;
+    }
+    ++n;
+  }
+  for (int64_t i = n; i < capacity; ++i) {
+    out_xyz[i * 3 + 0] = kPadSentinel;
+    out_xyz[i * 3 + 1] = kPadSentinel;
+    out_xyz[i * 3 + 2] = kPadSentinel;
+    out_intensity[i] = 0.0f;
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// 3. Occupancy-grid oracle (scalar reference implementation)
+// ---------------------------------------------------------------------------
+// Exact grid_map index math + the engine's update order (decay -> per-box
+// inclusive block += hit -> clamp -> sigmoid). Used by tests to cross-
+// check the XLA rasterizer from a second, independent implementation.
+
+struct GridGeom {
+  int size_x, size_y;
+  float max_x, max_y;  // max corner position
+  float res;
+};
+
+static bool grid_index(const GridGeom& g, float px, float py, int* ix,
+                       int* iy) {
+  float fx = std::floor((g.max_x - px) / g.res);
+  float fy = std::floor((g.max_y - py) / g.res);
+  int x = static_cast<int>(fx), y = static_cast<int>(fy);
+  if (x < 0 || x >= g.size_x || y < 0 || y >= g.size_y) return false;
+  *ix = x;
+  *iy = y;
+  return true;
+}
+
+// boxes: n x 4 floats (px, py, length, width). log_odds updated in place,
+// occupancy written. Geometry: (size_x, size_y, center_x, center_y,
+// length_x, length_y, resolution) then constants (decay, hit, lo_min,
+// lo_max).
+void gv_grid_update(float* log_odds, float* occupancy, int size_x,
+                    int size_y, float center_x, float center_y,
+                    float length_x, float length_y, float res,
+                    const float* boxes, int n_boxes, float decay, float hit,
+                    float lo_min, float lo_max) {
+  GridGeom g{size_x, size_y, center_x + 0.5f * length_x,
+             center_y + 0.5f * length_y, res};
+  int64_t cells = static_cast<int64_t>(size_x) * size_y;
+  for (int64_t i = 0; i < cells; ++i) log_odds[i] += decay;
+  for (int b = 0; b < n_boxes; ++b) {
+    float px = boxes[b * 4 + 0], py = boxes[b * 4 + 1];
+    float hl = boxes[b * 4 + 2] / 2.0f, hw = boxes[b * 4 + 3] / 2.0f;
+    float cx[4] = {px + hl, px + hl, px - hl, px - hl};
+    float cy[4] = {py - hw, py + hw, py - hw, py + hw};
+    int min_x = 0, min_y = 0, max_x = 0, max_y = 0;
+    bool ok = true;
+    for (int c = 0; c < 4 && ok; ++c) {
+      int ix, iy;
+      ok = grid_index(g, cx[c], cy[c], &ix, &iy);
+      if (!ok) break;
+      if (c == 0) {
+        min_x = max_x = ix;
+        min_y = max_y = iy;
+      } else {
+        min_x = std::min(min_x, ix);
+        min_y = std::min(min_y, iy);
+        max_x = std::max(max_x, ix);
+        max_y = std::max(max_y, iy);
+      }
+    }
+    if (!ok) continue;  // any off-map corner skips the whole box
+    for (int x = min_x; x <= max_x; ++x)
+      for (int y = min_y; y <= max_y; ++y)
+        log_odds[static_cast<int64_t>(x) * size_y + y] += hit;
+  }
+  for (int64_t i = 0; i < cells; ++i) {
+    float v = std::min(std::max(log_odds[i], lo_min), lo_max);
+    log_odds[i] = v;
+    occupancy[i] = 1.0f / (1.0f + std::exp(-v));
+  }
+}
+
+// ---------------------------------------------------------------------------
+// 4. Grid snapshot writer (PGM, headless RViz replacement)
+// ---------------------------------------------------------------------------
+int gv_write_pgm(const char* path, const int8_t* grid, int rows, int cols) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  std::fprintf(f, "P5\n%d %d\n255\n", cols, rows);
+  std::vector<uint8_t> row(cols);
+  for (int r = 0; r < rows; ++r) {
+    for (int c = 0; c < cols; ++c) {
+      int v = grid[static_cast<int64_t>(r) * cols + c];
+      row[c] = static_cast<uint8_t>(
+          v < 0 ? 127 : 255 - (v * 255) / 100);  // occupied -> dark
+    }
+    std::fwrite(row.data(), 1, cols, f);
+  }
+  std::fclose(f);
+  return 0;
+}
+
+}  // extern "C"
