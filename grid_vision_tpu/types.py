@@ -101,14 +101,19 @@ class PointCloud:
     def from_numpy(xyz: np.ndarray, intensity: np.ndarray | None,
                    capacity: int) -> "PointCloud":
         """Host-side packer: drops non-finite points, packs valid-first,
-        pads with the sentinel, truncates at capacity."""
+        pads with the sentinel. Overflow is stride-subsampled (evenly
+        spaced indices) rather than head-truncated, so scans larger than
+        capacity keep full spatial coverage."""
         xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
         if intensity is None:
             intensity = np.zeros((xyz.shape[0],), np.float32)
         intensity = np.asarray(intensity, np.float32).reshape(-1)
         finite = np.isfinite(xyz).all(axis=1)
         xyz, intensity = xyz[finite], intensity[finite]
-        n = min(xyz.shape[0], capacity)
+        if xyz.shape[0] > capacity:
+            idx = np.linspace(0, xyz.shape[0] - 1, capacity).astype(np.int64)
+            xyz, intensity = xyz[idx], intensity[idx]
+        n = xyz.shape[0]
         out_xyz = np.full((capacity, 3), PointCloud.PAD_SENTINEL, np.float32)
         out_int = np.zeros((capacity,), np.float32)
         out_xyz[:n] = xyz[:n]
