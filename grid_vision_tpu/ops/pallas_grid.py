@@ -1,0 +1,132 @@
+"""Pallas TPU kernel: fused occupancy-grid update.
+
+One kernel pass fuses the whole L1 update the reference does in four
+sweeps over the grid (decay array-add, per-box Eigen block +=, clamp,
+per-cell sigmoid loop — occupancy_grid.cpp:65-105): each (BLOCK_H, W)
+tile of the log-odds grid is read from VMEM once, decayed, box
+increments applied via broadcasted row/col range masks, clamped,
+sigmoided, and both layers written — grid traffic is exactly one read +
+two writes per cell, the HBM-bandwidth speed-of-light for this op.
+
+Box rectangles arrive as scalar-prefetched SMEM arrays (index bounds are
+needed before the tile loop begins, the canonical PrefetchScalarGridSpec
+use). Invalid/off-map boxes are encoded with an empty range (lo > hi) by
+the host-side prep, which implements grid_map's getIndex semantics
+exactly (geometry.grid_index_from_position).
+
+The XLA einsum rasterizer (rasterize.py) remains the fallback; tests
+assert bit-equality between the two paths and the NumPy oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import GridVisionConfig
+from ..geometry import grid_index_from_position
+from ..types import LShapePoses
+
+BLOCK_H = 128
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _grid_kernel(lo_x0_ref, hi_x0_ref, lo_x1_ref, hi_x1_ref,
+                 log_odds_ref, lo_out_ref, occ_out_ref, *,
+                 decay: float, hit: float, lo_min: float, lo_max: float,
+                 n_boxes: int, block_h: int, width: int):
+    """One (block_h, width) tile: decay -> box hits -> clamp -> sigmoid."""
+    tile = pl.program_id(0)
+    row0 = tile * block_h
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_h, width), 0) + row0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_h, width), 1)
+
+    acc = log_odds_ref[:] + decay
+
+    def body(d, acc):
+        in_box = ((rows >= lo_x0_ref[d]) & (rows <= hi_x0_ref[d])
+                  & (cols >= lo_x1_ref[d]) & (cols <= hi_x1_ref[d]))
+        return acc + jnp.where(in_box, hit, 0.0)
+
+    acc = jax.lax.fori_loop(0, n_boxes, body, acc)
+    acc = jnp.clip(acc, lo_min, lo_max)
+    lo_out_ref[:] = acc
+    occ_out_ref[:] = 1.0 / (1.0 + jnp.exp(-acc))
+
+
+def _box_index_ranges(poses: LShapePoses, cfg: GridVisionConfig):
+    """Footprint corners -> inclusive index ranges; any-off-map-corner
+    boxes and invalid lanes get the empty range (1, 0)."""
+    px = poses.position[:, 0]
+    py = poses.position[:, 1]
+    half_l = poses.length / 2.0
+    half_w = poses.width / 2.0
+    corners = jnp.stack([
+        jnp.stack([px - half_l, py - half_w], axis=-1),
+        jnp.stack([px + half_l, py - half_w], axis=-1),
+        jnp.stack([px + half_l, py + half_w], axis=-1),
+        jnp.stack([px - half_l, py + half_w], axis=-1),
+    ], axis=-2)
+    length = (float(cfg.grid_x), float(cfg.grid_y))
+    idx, corner_ok = grid_index_from_position(
+        corners, cfg.grid_center, length, cfg.resolution)
+    ok = poses.valid & jnp.all(corner_ok, axis=-1)
+    lo = jnp.min(idx, axis=-2)
+    hi = jnp.max(idx, axis=-2)
+    one = jnp.ones_like(lo[:, 0])
+    lo_x0 = jnp.where(ok, lo[:, 0], 1)
+    hi_x0 = jnp.where(ok, hi[:, 0], 0)
+    lo_x1 = jnp.where(ok, lo[:, 1], one)
+    hi_x1 = jnp.where(ok, hi[:, 1], 0 * one)
+    return lo_x0, hi_x0, lo_x1, hi_x1
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def lshape_update_pallas(log_odds: jnp.ndarray, poses: LShapePoses,
+                         cfg: GridVisionConfig):
+    """Drop-in replacement for rasterize.lshape_update on TPU."""
+    h, w = cfg.grid_size
+    hp = _round_up(h, BLOCK_H)
+    wp = _round_up(w, LANE)
+    n_boxes = poses.capacity
+
+    lo_x0, hi_x0, lo_x1, hi_x1 = _box_index_ranges(poses, cfg)
+    padded = jnp.zeros((hp, wp), jnp.float32)
+    padded = jax.lax.dynamic_update_slice(padded, log_odds, (0, 0))
+
+    kernel = functools.partial(
+        _grid_kernel, decay=cfg.log_odds_decay, hit=cfg.log_odds_hit,
+        lo_min=cfg.min_log_odds, lo_max=cfg.max_log_odds,
+        n_boxes=n_boxes, block_h=BLOCK_H, width=wp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(hp // BLOCK_H,),
+        in_specs=[
+            pl.BlockSpec((BLOCK_H, wp), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLOCK_H, wp), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_H, wp), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    lo_out, occ_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(lo_x0, hi_x0, lo_x1, hi_x1, padded)
+    return lo_out[:h, :w], occ_out[:h, :w]

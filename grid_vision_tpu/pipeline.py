@@ -171,8 +171,19 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
 
     # --- grid update (L1) ------------------------------------------------
     # Masked lshape_update covers all three reference paths: valid poses
-    # rasterize; zero valid poses == the decay-only overload.
-    new_lo, new_occ = rasterize.lshape_update(state.log_odds, poses, cfg)
+    # rasterize; zero valid poses == the decay-only overload. Extension
+    # mode additionally carves raycast free space (ops/raycast.py) using
+    # the constants the reference declares but never uses (quirk Q2).
+    if cfg.raycast_free_space:
+        from .ops import raycast
+        cloud_base = transform_points(extrinsics.camera_to_base, cloud_cam)
+        origin_xy = extrinsics.camera_to_base[:2, 3]
+        new_lo, new_occ = raycast.lshape_update_with_carving(
+            state.log_odds, poses, origin_xy, cloud_base[:, :2],
+            cloud_valid, cfg)
+    else:
+        new_lo, new_occ = rasterize.lshape_update(state.log_odds, poses,
+                                                  cfg)
 
     # Q1 gate: both inputs missing -> no update at all (not even decay).
     run_gate = obs.has_image | obs.has_cloud
