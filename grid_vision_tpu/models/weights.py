@@ -1,0 +1,60 @@
+"""Model weight management.
+
+The reference ships three pre-exported blobs (two YOLOv4 ONNX files and
+a TensorRT engine, .MISSING_LARGE_BLOBS — all stripped from the snapshot
+and unrecoverable). This framework therefore treats weights as
+first-class checkpoints: deterministic random init, orbax/npz save and
+load keyed by the same config paths the reference used
+(detection_weights_file / vision_weights_file in grid_vision_cfg.yaml).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax
+
+from ..config import GridVisionConfig
+from ..utils import checkpoint
+from . import orientation_net, yolov4_tiny
+
+
+def init_all(cfg: GridVisionConfig, seed: int = 0) -> Dict[str, Any]:
+    kd, ko = jax.random.split(jax.random.PRNGKey(seed))
+    ycfg = yolov4_tiny.YoloConfig(input_size=cfg.resize)
+    ocfg = orientation_net.OrientationConfig(input_size=cfg.network_height)
+    return {
+        "detector": yolov4_tiny.init_params(kd, ycfg),
+        "orientation": orientation_net.init_params(ko, ocfg),
+    }
+
+
+def save_all(params: Dict[str, Any], cfg: GridVisionConfig,
+             base_dir: str = ".") -> None:
+    det = cfg.detection_weights_file or "weights/detector.npz"
+    vis = cfg.vision_weights_file or "weights/orientation.npz"
+    for rel, tree in ((det, params["detector"]),
+                      (vis, params["orientation"])):
+        path = os.path.join(base_dir, rel.lstrip("/"))
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if not path.endswith(".npz"):
+            path += ".npz"
+        checkpoint.save(path, tree)
+
+
+def load_all(cfg: GridVisionConfig, base_dir: str = ".",
+             seed: int = 0) -> Dict[str, Any]:
+    """Load checkpoints from the configured paths; any missing file
+    falls back to deterministic random init (logged upstream)."""
+    params = init_all(cfg, seed)
+    for key, rel in (("detector", cfg.detection_weights_file),
+                     ("orientation", cfg.vision_weights_file)):
+        if not rel:
+            continue
+        path = os.path.join(base_dir, rel.lstrip("/"))
+        if not path.endswith(".npz"):
+            path += ".npz"
+        if os.path.exists(path):
+            params[key] = checkpoint.restore(path, params[key])
+    return params
