@@ -1,0 +1,189 @@
+"""Full benchmark suite: one entry per BASELINE.json config.
+
+`python bench_suite.py [--rigs N] [--out BENCH_DETAIL.json]`
+
+Configs measured (BASELINE.json "configs"):
+  1. cloud -> grid only (raycast carve, no detections)
+  2. detection + NMS + association, single frame path
+  3. full fusion (detect + associate + orientation + grid)
+  4. streaming 10 Hz sequence with temporal decay (achieved Hz, 1 rig)
+  5. batched rigs, full fusion (the headline fused frames/s)
+
+The headline single-line bench for the driver stays in bench.py; this
+suite writes a JSON dict of all metrics for profiling across rounds.
+Uses the same readback-sync methodology as bench.py (this machine's
+tunnel backend has an async block_until_ready).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grid_vision_tpu import pipeline
+from grid_vision_tpu.config import GridVisionConfig
+from grid_vision_tpu.ops import raycast, rasterize
+from grid_vision_tpu.ops.decode import extract_boxes
+from grid_vision_tpu.models import yolov4_tiny
+from grid_vision_tpu.types import (GridState, LShapePoses, Obs, PointCloud,
+                                   tree_stack)
+from bench import readback, synth_obs
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def time_chunks(fn, *args, n_warm=1, budget_s=45.0, unit_count=1):
+    """Run fn repeatedly; return units/sec with readback sync."""
+    out = None
+    for _ in range(n_warm):
+        out = fn(*args)
+    _ = readback(jax.tree_util.tree_leaves(out)[0])
+    t = time.perf_counter()
+    _ = readback(jax.tree_util.tree_leaves(out)[0])
+    sync = time.perf_counter() - t
+
+    count = 0
+    t0 = time.perf_counter()
+    while count < 2 or time.perf_counter() - t0 < budget_s / 4:
+        out = fn(*args)
+        count += 1
+        if count >= 64:
+            break
+    _ = readback(jax.tree_util.tree_leaves(out)[0])
+    dt = time.perf_counter() - t0 - sync
+    return unit_count * count / max(dt, 1e-9)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rigs", type=int, default=64)
+    ap.add_argument("--out", default="BENCH_DETAIL.json")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    results = {}
+    cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16")
+    eng = pipeline.Engine(cfg, seed=0)
+    obs1 = jax.jit(functools.partial(synth_obs, cfg=cfg))(
+        jax.random.PRNGKey(7))
+
+    # ---- config 1: cloud -> grid with raycast carve --------------------
+    ccfg = GridVisionConfig(max_points=8192, compat=False,
+                            raycast_free_space=True)
+    origin = jnp.asarray([0.0, 0.0])
+
+    @jax.jit
+    def cloud_to_grid(lo, pts, key):
+        jitter = jax.random.uniform(key, (), jnp.float32, -0.01, 0.01)
+        return raycast.lshape_update_with_carving(
+            lo, LShapePoses.empty(8), origin, pts[:, :2] + jitter,
+            jnp.ones(pts.shape[0], bool), ccfg)[0]
+
+    lo = GridState.create(ccfg).log_odds
+    pts_base = jnp.stack([obs1.cloud.xyz[:, 2], obs1.cloud.xyz[:, 0],
+                          obs1.cloud.xyz[:, 1]], -1)
+    k = jax.random.PRNGKey(0)
+
+    def run1(lo):
+        return cloud_to_grid(lo, pts_base, k)
+
+    results["cloud_to_grid_raycast_fps"] = time_chunks(run1, lo)
+    log(f"config1 {results['cloud_to_grid_raycast_fps']:.0f} scans/s")
+
+    # ---- config 2: detect + NMS latency --------------------------------
+    ycfg = yolov4_tiny.YoloConfig()
+
+    @jax.jit
+    def detect_nms(params, img, key):
+        img = img + jax.random.uniform(key, (), jnp.float32, -1, 1)
+        from grid_vision_tpu.ops.preprocess import preprocess_detector_image
+        net = preprocess_detector_image(img, cfg.resize)
+        b, c = yolov4_tiny.forward(params["detector"], net[None], ycfg)
+        return extract_boxes(b[0], c[0], cfg).xyxy
+
+    fps2 = time_chunks(lambda: detect_nms(eng.params, obs1.image, k))
+    results["detect_nms_single_fps"] = fps2
+    results["detect_nms_single_latency_ms"] = 1e3 / max(fps2, 1e-9)
+    log(f"config2 {fps2:.0f} img/s")
+
+    # ---- config 3: full fusion single rig -------------------------------
+    step = jax.jit(functools.partial(pipeline.step, cfg=cfg))
+    state1 = GridState.create(cfg)
+
+    def run3():
+        nonlocal state1
+        state1, _ = step(eng.params, state1, obs1, eng.extrinsics)
+        return state1.log_odds
+
+    results["full_fusion_single_fps"] = time_chunks(run3)
+    log(f"config3 {results['full_fusion_single_fps']:.0f} fps")
+
+    # ---- config 4: streaming achieved Hz (host-paced ingest) ------------
+    from grid_vision_tpu.demo import default_extrinsics
+    from grid_vision_tpu.io.scene import SyntheticScene
+    from grid_vision_tpu.runtime.stream import replay
+    eng4 = pipeline.Engine(cfg, extrinsics=default_extrinsics(), seed=0)
+    scene = SyntheticScene(cfg, seed=0)
+    scene.add_default_traffic()
+    replay(eng4, scene, n_steps=2)  # compile
+    res = replay(eng4, scene, n_steps=20)
+    results["streaming_achieved_hz"] = res.achieved_hz
+    log(f"config4 {res.achieved_hz:.1f} Hz (host-paced)")
+
+    # ---- config 5: batched rigs (headline) ------------------------------
+    vstep = jax.vmap(functools.partial(pipeline.step, cfg=cfg),
+                     in_axes=(None, 0, 0, None))
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def fleet_chunk(params, states, obs, extr, key):
+        keys = jax.random.split(key, 4)
+
+        def body(s, kk):
+            k1, k2 = jax.random.split(kk)
+            ji = jax.random.uniform(k1, (), jnp.float32, -1, 1)
+            jc = jax.random.uniform(k2, (), jnp.float32, -0.01, 0.01)
+            o = Obs(image=obs.image + ji,
+                    cloud=PointCloud(xyz=obs.cloud.xyz + jc,
+                                     intensity=obs.cloud.intensity,
+                                     count=obs.cloud.count),
+                    has_image=obs.has_image, has_cloud=obs.has_cloud)
+            s2, _ = vstep(params, s, o, extr)
+            return s2, ()
+
+        states, _ = jax.lax.scan(body, states, keys)
+        return states
+
+    keys = jax.random.split(jax.random.PRNGKey(0), args.rigs)
+    obs_b = jax.jit(jax.vmap(functools.partial(synth_obs, cfg=cfg)))(keys)
+    states = tree_stack([GridState.create(cfg, i) for i in range(args.rigs)])
+    holder = {"s": states}
+
+    def run5():
+        holder["s"] = fleet_chunk(eng.params, holder["s"], obs_b,
+                                  eng.extrinsics, jax.random.PRNGKey(3))
+        return holder["s"].log_odds
+
+    results["fused_frames_per_sec"] = time_chunks(
+        run5, unit_count=args.rigs * 4)
+    log(f"config5 {results['fused_frames_per_sec']:.0f} fused frames/s")
+
+    results["n_rigs"] = args.rigs
+    results["backend"] = jax.default_backend()
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
