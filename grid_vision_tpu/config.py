@@ -95,6 +95,9 @@ class GridVisionConfig:
     raycast_free_space: bool = False # extension: DDA raycast carving
                                      # (must be False for bit-compat — Q2)
     compute_dtype: str = "float32"   # "bfloat16" for fast conv path
+    grid_backend: str = "xla"        # "xla" (einsum rasterizer) or
+                                     # "pallas" (fused one-pass kernel;
+                                     # bit-equal, interpret-mode on CPU)
 
     # ------------------------------------------------------------------
     # Derived geometry (grid_map semantics).
