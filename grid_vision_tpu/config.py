@@ -98,6 +98,10 @@ class GridVisionConfig:
     grid_backend: str = "xla"        # "xla" (einsum rasterizer) or
                                      # "pallas" (fused one-pass kernel;
                                      # bit-equal, interpret-mode on CPU)
+    orientation_width: int = 64      # orientation-net stem width (the
+                                     # TRT engine's architecture is
+                                     # unknown; this sizes the ResNet
+                                     # capacity / FLOPs tradeoff)
 
     # ------------------------------------------------------------------
     # Derived geometry (grid_map semantics).

@@ -88,7 +88,7 @@ def _vision_orientation_poses(params, image, boxes: Boxes,
     crops = preprocess.crop_resize_standardize(
         image, dyn_boxes, cfg.network_height)
     ocfg = orientation_net.OrientationConfig(
-        input_size=cfg.network_height,
+        input_size=cfg.network_height, width=cfg.orientation_width,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
         else jnp.float32)
     orient, conf, dims = orientation_net.forward(
@@ -222,20 +222,24 @@ class Engine:
         self.cfg = cfg
         self.extrinsics = extrinsics or Extrinsics.identity()
         if params is None:
-            kd, ko = jax.random.split(jax.random.PRNGKey(seed))
-            ycfg = yolov4_tiny.YoloConfig(input_size=cfg.resize)
-            ocfg = orientation_net.OrientationConfig(
-                input_size=cfg.network_height)
-            params = {
-                "detector": yolov4_tiny.init_params(kd, ycfg),
-                "orientation": orientation_net.init_params(ko, ocfg),
-            }
+            from .models import weights
+            params = weights.load_all(cfg, seed=seed)
         self.params = params
         self._step = jax.jit(functools.partial(step, cfg=self.cfg),
                              donate_argnums=(1,))
 
     def init_state(self, seed: int = 0) -> GridState:
         return GridState.create(self.cfg, seed)
+
+    def warmup(self, obs: Obs | None = None) -> None:
+        """Ahead-of-time compile of the fused step (the reference's cold
+        start loads engines in the ctor; here the analogue is one
+        lowering+compile against representative shapes)."""
+        if obs is None:
+            obs = Obs.create(self.cfg)
+        state = self.init_state()
+        self._step.lower(self.params, state, obs,
+                         self.extrinsics).compile()
 
     def __call__(self, state: GridState, obs: Obs):
         return self._step(self.params, state, obs, self.extrinsics)
