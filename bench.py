@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from grid_vision_tpu import pipeline
 from grid_vision_tpu.config import GridVisionConfig
-from grid_vision_tpu.types import GridState, Obs, PointCloud, tree_stack
+from grid_vision_tpu.types import GridState, Obs, PointCloud
 
 BASELINE_FPS = 5000.0  # BASELINE.md: >= 5k fused frames/s on one v5e-8
 
@@ -96,7 +96,7 @@ def main():
 
     keys = jax.random.split(jax.random.PRNGKey(0), n_rigs)
     obs = jax.jit(jax.vmap(functools.partial(synth_obs, cfg=cfg)))(keys)
-    states = tree_stack([GridState.create(cfg, i) for i in range(n_rigs)])
+    states = GridState.create_batch(cfg, n_rigs)
 
     t0 = time.perf_counter()
     states = run_chunk(eng.params, states, obs, eng.extrinsics,

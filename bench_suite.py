@@ -32,8 +32,7 @@ from grid_vision_tpu.config import GridVisionConfig
 from grid_vision_tpu.ops import raycast, rasterize
 from grid_vision_tpu.ops.decode import extract_boxes
 from grid_vision_tpu.models import yolov4_tiny
-from grid_vision_tpu.types import (GridState, LShapePoses, Obs, PointCloud,
-                                   tree_stack)
+from grid_vision_tpu.types import GridState, LShapePoses, Obs, PointCloud
 from bench import readback, synth_obs
 
 
@@ -166,7 +165,7 @@ def main():
 
     keys = jax.random.split(jax.random.PRNGKey(0), args.rigs)
     obs_b = jax.jit(jax.vmap(functools.partial(synth_obs, cfg=cfg)))(keys)
-    states = tree_stack([GridState.create(cfg, i) for i in range(args.rigs)])
+    states = GridState.create_batch(cfg, args.rigs)
     holder = {"s": states}
 
     def run5():

@@ -99,9 +99,17 @@ class OrientationNet(nn.Module):
 
 
 def init_params(rng: jax.Array, cfg: OrientationConfig = OrientationConfig()):
+    """jit-wrapped init (one compiled computation instead of hundreds of
+    eager dispatches — see yolov4_tiny.init_params)."""
     model = OrientationNet(cfg)
-    dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32)
-    return model.init(rng, dummy, train=False)
+
+    @jax.jit
+    def _init(rng):
+        dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3),
+                          jnp.float32)
+        return model.init(rng, dummy, train=False)
+
+    return _init(rng)
 
 
 def forward(variables, crops: jnp.ndarray,

@@ -163,11 +163,21 @@ def decode(head1: jnp.ndarray, head2: jnp.ndarray, cfg: YoloConfig):
 
 
 def init_params(rng: jax.Array, cfg: YoloConfig = YoloConfig()):
-    """Initialize params + batch stats on a dummy input."""
+    """Initialize params + batch stats on a dummy input.
+
+    jit-wrapped: flax's eager init dispatches hundreds of individual ops,
+    which is pathological on high-latency device links (this machine's
+    TPU tunnel); one compiled computation keeps cold start bounded.
+    """
     model = YoloV4Tiny(cfg)
-    dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32)
-    variables = model.init(rng, dummy, train=False)
-    return variables
+
+    @jax.jit
+    def _init(rng):
+        dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3),
+                          jnp.float32)
+        return model.init(rng, dummy, train=False)
+
+    return _init(rng)
 
 
 def forward(variables, images: jnp.ndarray, cfg: YoloConfig = YoloConfig()):

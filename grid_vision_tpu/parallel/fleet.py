@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import pipeline
 from ..config import GridVisionConfig
-from ..types import Extrinsics, GridState, Obs, tree_stack
+from ..types import Extrinsics, GridState, Obs
 from .mesh import rig_mesh
 
 
@@ -67,9 +67,7 @@ class Fleet:
     def init_states(self, seed: int = 0) -> GridState:
         """Stacked per-rig states, rig-sharded. Each rig gets its own
         PRNG stream."""
-        states = [GridState.create(self.cfg, seed + i)
-                  for i in range(self.n_rigs)]
-        stacked = tree_stack(states)
+        stacked = GridState.create_batch(self.cfg, self.n_rigs, seed)
         return jax.device_put(
             stacked,
             jax.tree_util.tree_map(lambda _: self._rig_sharding, stacked))

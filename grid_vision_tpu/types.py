@@ -186,12 +186,37 @@ class GridState:
     @staticmethod
     def create(cfg: GridVisionConfig, seed: int = 0) -> "GridState":
         h, w = cfg.grid_size
+        # Build on host (numpy) — one transfer per leaf instead of
+        # device compute dispatches; matters on high-latency links.
         return GridState(
-            log_odds=jnp.full((h, w), cfg.log_odds_prior, jnp.float32),
-            occupancy=jnp.full((h, w), cfg.init_probability, jnp.float32),
+            log_odds=jnp.asarray(
+                np.full((h, w), cfg.log_odds_prior, np.float32)),
+            occupancy=jnp.asarray(
+                np.full((h, w), cfg.init_probability, np.float32)),
             rng=jax.random.PRNGKey(seed),
             step=jnp.zeros((), jnp.int32),
         )
+
+    @staticmethod
+    def create_batch(cfg: GridVisionConfig, n: int,
+                     seed: int = 0) -> "GridState":
+        """Stacked per-rig states built in one jitted computation (a
+        python loop of create() costs 4*n eager dispatches)."""
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(1, 2))
+        def _make(seeds, h, w):
+            return GridState(
+                log_odds=jnp.full((n, h, w), cfg.log_odds_prior,
+                                  jnp.float32),
+                occupancy=jnp.full((n, h, w), cfg.init_probability,
+                                   jnp.float32),
+                rng=jax.vmap(jax.random.PRNGKey)(seeds),
+                step=jnp.zeros((n,), jnp.int32),
+            )
+
+        h, w = cfg.grid_size
+        return _make(jnp.arange(seed, seed + n), h, w)
 
 
 @pytree_dataclass
