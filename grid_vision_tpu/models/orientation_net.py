@@ -45,18 +45,18 @@ class ResBlock(nn.Module):
         y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
                     padding="SAME", use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         y = nn.relu(y).astype(self.dtype)
         y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1),
                                (self.stride, self.stride), use_bias=False,
                                dtype=self.dtype,
                                param_dtype=jnp.float32)(residual)
             residual = nn.BatchNorm(use_running_average=not train,
-                                    dtype=jnp.float32)(residual)
+                                    dtype=self.dtype)(residual)
         return nn.relu(y + residual).astype(self.dtype)
 
 
@@ -70,7 +70,7 @@ class OrientationNet(nn.Module):
         x = x.astype(d)
         x = nn.Conv(c.width, (7, 7), (2, 2), padding="SAME", use_bias=False,
                     dtype=d, param_dtype=jnp.float32)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=d)(x)
         x = nn.relu(x).astype(d)
         x = nn.max_pool(x, (3, 3), (2, 2), padding="SAME")
         for i, mult in enumerate((1, 2, 4, 8)):

@@ -60,8 +60,12 @@ class ConvBN(nn.Module):
                     strides=(self.stride, self.stride), padding="SAME",
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
+        # BN in the compute dtype: at inference it is a per-channel
+        # scale+shift that XLA fuses into the conv epilogue; an f32 BN
+        # between bf16 convs forces dtype round-trips that break the
+        # fusion (measured via tools/perf_ablate.py).
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         return nn.leaky_relu(x, 0.1).astype(self.dtype)
 
 

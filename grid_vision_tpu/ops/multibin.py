@@ -120,14 +120,39 @@ def _calc_location_single(length, width, height, xyxy, alpha, theta_ray, K):
     b = box_vals[None, :] * KRX[..., 2] - krx_idx             # (64, 4)
 
     # Least squares loc = (A^T A)^-1 A^T b for all 64 b's at once.
-    AtA = A.T @ A                                             # (3, 3)
-    Atb = b @ A                                               # (64, 3)
-    locs = jnp.linalg.solve(
-        jnp.broadcast_to(AtA, (64, 3, 3)), Atb[..., None])[..., 0]
-    resid = A @ locs.T - b.T                                  # (4, 64)
+    # Closed-form SPD 3x3 inverse instead of jnp.linalg.solve: batched
+    # tiny LU lowers to a serial loop on TPU and dominated the whole
+    # orientation branch (tools/perf_ablate.py). Globally rescale the
+    # system first so the f32 determinant cannot overflow (A entries are
+    # O(focal * pixel) ~ 1e5; scaling leaves the LS solution unchanged).
+    scale = 1.0 / 1024.0
+    A_s = A * scale                                           # (4, 3)
+    b_s = b * scale                                           # (64, 4)
+    AtA = A_s.T @ A_s                                         # (3, 3)
+    Atb = b_s @ A_s                                           # (64, 3)
+    locs = Atb @ _inv3x3_spd(AtA).T                           # (64, 3)
+    resid = A_s @ locs.T - b_s.T                              # (4, 64)
     errors = jnp.sum(resid * resid, axis=0)                   # (64,)
     best = jnp.argmin(errors)                                 # first min
     return locs[best], orient
+
+
+def _inv3x3_spd(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate / determinant) — fully
+    vectorized elementwise ops, no lax.linalg."""
+    a, b, c = M[0, 0], M[0, 1], M[0, 2]
+    d, e, f = M[1, 0], M[1, 1], M[1, 2]
+    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    A_ = e * i - f * h
+    B_ = -(d * i - f * g)
+    C_ = d * h - e * g
+    det = a * A_ + b * B_ + c * C_
+    adj = jnp.stack([
+        jnp.stack([A_, -(b * i - c * h), b * f - c * e]),
+        jnp.stack([B_, a * i - c * g, -(a * f - c * d)]),
+        jnp.stack([C_, -(a * h - b * g), a * e - b * d]),
+    ])
+    return adj / det
 
 
 def multibin_poses(orientation: jnp.ndarray, confidence: jnp.ndarray,

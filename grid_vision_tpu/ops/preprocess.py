@@ -41,8 +41,18 @@ def _bilinear_sample_axis(length_in, start, extent, n_out):
     return lo_i, hi_i, frac
 
 
+def _interp_weights(length_in: int, lo, hi, frac) -> jnp.ndarray:
+    """(out,) index/frac triplets -> (out, length_in) bilinear weight
+    matrix with (1-frac) at column lo and frac at column hi. When
+    lo == hi (border clamp) the terms sum to weight 1 on that column."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (lo.shape[0], length_in), 1)
+    return ((cols == lo[:, None]) * (1.0 - frac[:, None])
+            + (cols == hi[:, None]) * frac[:, None]).astype(jnp.float32)
+
+
 def crop_resize_standardize(image: jnp.ndarray, boxes: Boxes,
-                            out_size: int) -> jnp.ndarray:
+                            out_size: int,
+                            compute_dtype=jnp.float32) -> jnp.ndarray:
     """(H, W, 3) image + padded Boxes -> (D, out, out, 3) standardized
     crops. Invalid boxes yield zero crops (standardization is guarded).
 
@@ -50,33 +60,40 @@ def crop_resize_standardize(image: jnp.ndarray, boxes: Boxes,
     xmax = min(W-1, int(x_max)), crop width = xmax - xmin (cv::Rect —
     excludes the xmax column), resize INTER_LINEAR, then per-channel
     (x - mean) / std with the crop's own statistics.
+
+    TPU note: bilinear crop-resize is computed as two interpolation-
+    weight MATMULS (Wy @ image @ Wx^T) instead of 4-corner gathers —
+    dynamic 2D gathers lower to scalar loops on TPU and measured ~100x
+    slower than this MXU formulation (tools/perf_ablate.py, stage d).
     """
     h, w, _ = image.shape
 
-    def one_box(xyxy, valid):
+    def box_weights(xyxy):
         xmin = jnp.maximum(0, jnp.trunc(xyxy[0]).astype(jnp.int32))
         ymin = jnp.maximum(0, jnp.trunc(xyxy[1]).astype(jnp.int32))
         xmax = jnp.minimum(w - 1, jnp.trunc(xyxy[2]).astype(jnp.int32))
         ymax = jnp.minimum(h - 1, jnp.trunc(xyxy[3]).astype(jnp.int32))
         bw = jnp.maximum(xmax - xmin, 1).astype(jnp.float32)
         bh = jnp.maximum(ymax - ymin, 1).astype(jnp.float32)
-
         ylo, yhi, fy = _bilinear_sample_axis(h, ymin.astype(jnp.float32),
                                              bh, out_size)
         xlo, xhi, fx = _bilinear_sample_axis(w, xmin.astype(jnp.float32),
                                              bw, out_size)
-        tl = image[ylo[:, None], xlo[None, :]]
-        tr = image[ylo[:, None], xhi[None, :]]
-        bl = image[yhi[:, None], xlo[None, :]]
-        br = image[yhi[:, None], xhi[None, :]]
-        top = tl + (tr - tl) * fx[None, :, None]
-        bot = bl + (br - bl) * fx[None, :, None]
-        crop = top + (bot - top) * fy[:, None, None]  # (out, out, 3)
+        return (_interp_weights(h, ylo, yhi, fy),
+                _interp_weights(w, xlo, xhi, fx))
 
-        mean = jnp.mean(crop, axis=(0, 1), keepdims=True)
-        var = jnp.mean((crop - mean) ** 2, axis=(0, 1), keepdims=True)
-        std = jnp.sqrt(var)
-        crop = (crop - mean) / jnp.maximum(std, 1e-6)
-        return jnp.where(valid, crop, 0.0)
+    wy, wx = jax.vmap(box_weights)(boxes.xyxy)      # (D, out, H), (D, out, W)
+    # crop[d, i, j, c] = sum_{y, x} Wy[d, i, y] * image[y, x, c] * Wx[d, j, x]
+    # MXU inputs in compute_dtype (bf16 in fast mode), f32 accumulation.
+    wy = wy.astype(compute_dtype)
+    wx = wx.astype(compute_dtype)
+    img = image.astype(compute_dtype)
+    tmp = jnp.einsum("diy,yxc->dixc", wy, img,
+                     preferred_element_type=jnp.float32)
+    crops = jnp.einsum("djx,dixc->dijc", wx, tmp.astype(compute_dtype),
+                       preferred_element_type=jnp.float32)
 
-    return jax.vmap(one_box)(boxes.xyxy, boxes.valid)
+    mean = jnp.mean(crops, axis=(1, 2), keepdims=True)
+    var = jnp.mean((crops - mean) ** 2, axis=(1, 2), keepdims=True)
+    crops = (crops - mean) / jnp.maximum(jnp.sqrt(var), 1e-6)
+    return jnp.where(boxes.valid[:, None, None, None], crops, 0.0)

@@ -86,7 +86,9 @@ def _vision_orientation_poses(params, image, boxes: Boxes,
     """The use_vision_orientation=true branch (:190-209), camera frame."""
     dyn_boxes, _ = _compact_dynamic(boxes, cfg.max_orientation_batch)
     crops = preprocess.crop_resize_standardize(
-        image, dyn_boxes, cfg.network_height)
+        image, dyn_boxes, cfg.network_height,
+        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+        else jnp.float32)
     ocfg = orientation_net.OrientationConfig(
         input_size=cfg.network_height, width=cfg.orientation_width,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
