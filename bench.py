@@ -118,7 +118,7 @@ def main():
                            jax.random.PRNGKey(200 + chunks))
         frames += n_rigs * scan_steps
         chunks += 1
-        if chunks >= 64:
+        if chunks >= 256:
             break
     _ = readback(states.log_odds)
     elapsed = time.perf_counter() - t_start - sync_lat

@@ -22,10 +22,17 @@ import jax.numpy as jnp
 from ..types import Boxes
 
 
-def preprocess_detector_image(image: jnp.ndarray, size: int) -> jnp.ndarray:
-    """(H, W, 3) float RGB in [0, 255] -> (size, size, 3) in [0, 1]."""
-    resized = jax.image.resize(image, (size, size, 3), method="linear")
-    return resized / 255.0
+def preprocess_detector_image(image: jnp.ndarray, size: int,
+                              compute_dtype=jnp.float32) -> jnp.ndarray:
+    """(H, W, 3) float RGB in [0, 255] -> (size, size, 3) in [0, 1].
+
+    jax.image.resize lowers to two interpolation matmuls; running them in
+    the compute dtype (bf16 in fast mode) keeps them on the MXU fast
+    path. Pixel values are 8-bit to begin with, so bf16's 8-bit mantissa
+    loses nothing material."""
+    resized = jax.image.resize(image.astype(compute_dtype),
+                               (size, size, 3), method="linear")
+    return resized / jnp.asarray(255.0, compute_dtype)
 
 
 def _bilinear_sample_axis(length_in, start, extent, n_out):

@@ -57,7 +57,10 @@ from .types import Boxes, Extrinsics, GridState, LShapePoses, Obs, StepOutput
 def detect(params: Dict[str, Any], image: jnp.ndarray,
            cfg: GridVisionConfig) -> Boxes:
     """Image (H, W, 3) [0,255] -> padded pixel-space Boxes (conf desc)."""
-    net_in = preprocess.preprocess_detector_image(image, cfg.resize)
+    net_in = preprocess.preprocess_detector_image(
+        image, cfg.resize,
+        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+        else jnp.float32)
     ycfg = yolov4_tiny.YoloConfig(
         input_size=cfg.resize,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"

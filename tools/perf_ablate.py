@@ -43,7 +43,7 @@ def build_stage(cfg, stage: str):
         K = intrinsic_matrix(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
         acc = jnp.float32(0)
         if stage >= "a":  # detector forward
-            net = preprocess.preprocess_detector_image(obs.image, cfg.resize)
+            net = preprocess.preprocess_detector_image(obs.image, cfg.resize, compute_dtype=jnp.bfloat16)
             b, c = yolov4_tiny.forward(params["detector"], net[None], ycfg)
             acc = acc + jnp.sum(b[0, 0]) + jnp.sum(c[0, 0])
         if stage >= "b":  # + decode/NMS
