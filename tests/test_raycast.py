@@ -1,4 +1,10 @@
-"""Raycast free-space carving extension tests."""
+"""Raycast free-space carving extension tests.
+
+Two carve implementations with different beam models:
+  - carve_mask_sampled: exact per-ray LINE carving (dense samples);
+  - carve_mask: polar BEAM carving (angle-binned ranges) — the fast
+    production path, correct for angularly dense scans (real lidar).
+"""
 
 import jax.numpy as jnp
 import numpy as np
@@ -9,63 +15,82 @@ from grid_vision_tpu.ops import raycast
 from grid_vision_tpu.types import GridState, LShapePoses
 
 CFG = GridVisionConfig(compat=False, raycast_free_space=True)
+LENGTH = (float(CFG.grid_x), float(CFG.grid_y))
 
 
-def test_carve_marks_cells_along_ray_not_endpoint():
-    origin = jnp.asarray([0.0, 0.0])
-    # single ray straight ahead to (20, 0)
-    pts = jnp.asarray([[20.0, 0.0]])
-    mask = raycast.carve_mask(origin, pts, jnp.asarray([True]), CFG,
-                              n_samples=256)
-    m = np.asarray(mask)
-    length = (float(CFG.grid_x), float(CFG.grid_y))
-    # cells along the segment x in (0, 20), y = 0 are carved
-    mid_idx, ok = grid_index_from_position(
-        jnp.asarray([10.0, 0.0]), CFG.grid_center, length, CFG.resolution)
+def cell_of(x, y):
+    idx, ok = grid_index_from_position(
+        jnp.asarray([x, y]), CFG.grid_center, LENGTH, CFG.resolution)
     assert bool(ok)
-    assert m[int(mid_idx[0]), int(mid_idx[1])] == 1.0
-    # the endpoint cell is NOT carved
-    end_idx, ok = grid_index_from_position(
-        jnp.asarray([20.0, 0.0]), CFG.grid_center, length, CFG.resolution)
-    assert m[int(end_idx[0]), int(end_idx[1])] == 0.0
-    # off-ray cells untouched
-    far_idx, _ = grid_index_from_position(
-        jnp.asarray([10.0, 5.0]), CFG.grid_center, length, CFG.resolution)
-    assert m[int(far_idx[0]), int(far_idx[1])] == 0.0
-    # carve count roughly the ray's on-map cell count (~ (20-(-9))/0.1
-    # capped by map: x in (-9, 20) -> <= 290 cells, at least the visible
-    # forward section)
-    assert 150 <= m.sum() <= 300
+    return int(idx[0]), int(idx[1])
 
 
-def test_carve_once_per_scan():
-    """Many rays through the same cells: mask stays binary (scatter-max)."""
+def fan_endpoints(r=20.0, n=720):
+    """Angularly dense fan of endpoints at constant range (a lidar arc
+    covering the forward half plane)."""
+    ang = np.linspace(-np.pi / 2, np.pi / 2, n)
+    return jnp.asarray(
+        np.stack([r * np.cos(ang), r * np.sin(ang)], -1), jnp.float32)
+
+
+def test_sampled_line_carve_exact():
     origin = jnp.asarray([0.0, 0.0])
-    pts = jnp.asarray([[20.0, 0.0]] * 50)
-    mask = raycast.carve_mask(origin, pts, jnp.ones(50, bool), CFG,
-                              n_samples=128)
-    assert float(np.asarray(mask).max()) == 1.0
+    pts = jnp.asarray([[20.0, 0.0]])
+    mask = np.asarray(raycast.carve_mask_sampled(
+        origin, pts, jnp.asarray([True]), CFG, n_samples=256))
+    assert mask[cell_of(10.0, 0.0)] == 1.0      # on the ray
+    assert mask[cell_of(20.0, 0.0)] == 0.0      # endpoint cell protected
+    assert mask[cell_of(10.0, 5.0)] == 0.0      # off the ray
+    assert 150 <= mask.sum() <= 300
+
+
+def test_polar_beam_carve():
+    origin = jnp.asarray([0.0, 0.0])
+    pts = fan_endpoints(r=20.0)
+    valid = jnp.ones(pts.shape[0], bool)
+    mask = np.asarray(raycast.carve_mask(origin, pts, valid, CFG))
+    # inside the fan, well before the endpoints: carved
+    assert mask[cell_of(10.0, 0.0)] == 1.0
+    assert mask[cell_of(10.0, 5.0)] == 1.0      # inside the wedge too
+    assert mask[cell_of(5.0, -5.0)] == 1.0
+    # at/beyond the measured range: not carved
+    assert mask[cell_of(20.0, 0.0)] == 0.0
+    assert mask[cell_of(25.0, 0.0)] == 0.0
+    # behind the sensor (no beams): not carved
+    assert mask[cell_of(-5.0, 0.0)] == 0.0
+    # mask is binary regardless of overlapping beams
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+
+
+def test_polar_carve_respects_per_bin_range():
+    """A short return in one direction must not carve past itself even
+    when neighboring beams reach farther."""
+    origin = jnp.asarray([0.0, 0.0])
+    pts = np.array(fan_endpoints(r=20.0))
+    # make the straight-ahead beams stop at 8 m over a wedge wider than
+    # the carve's bin-dilation window, so the shadow survives smoothing
+    mid = len(pts) // 2
+    for off in range(-2, 3):
+        ang = off * 0.02  # radians; wedge ~ +-1.1 deg
+        pts[mid + off] = [8.0 * np.cos(ang), 8.0 * np.sin(ang)]
+    mask = np.asarray(raycast.carve_mask(
+        origin, jnp.asarray(pts), jnp.ones(len(pts), bool), CFG))
+    assert mask[cell_of(5.0, 0.0)] == 1.0       # before the short return
+    assert mask[cell_of(12.0, 0.0)] == 0.0      # shadow behind it
 
 
 def test_carving_update_lowers_free_cells():
     state = GridState.create(CFG)
     origin = jnp.asarray([0.0, 0.0])
-    pts = jnp.asarray([[20.0, 0.0]])
+    pts = fan_endpoints(r=20.0)
     lo, occ = raycast.lshape_update_with_carving(
         state.log_odds, LShapePoses.empty(4), origin, pts,
-        jnp.asarray([True]), CFG)
+        jnp.ones(pts.shape[0], bool), CFG)
     lo = np.asarray(lo)
-    length = (float(CFG.grid_x), float(CFG.grid_y))
-    mid_idx, _ = grid_index_from_position(
-        jnp.asarray([10.0, 0.0]), CFG.grid_center, length, CFG.resolution)
     # carved cell: decay + free = -0.2 - 0.4
-    np.testing.assert_allclose(lo[int(mid_idx[0]), int(mid_idx[1])], -0.6,
-                               atol=1e-6)
-    # uncarved cell: decay only
-    far_idx, _ = grid_index_from_position(
-        jnp.asarray([10.0, 5.0]), CFG.grid_center, length, CFG.resolution)
-    np.testing.assert_allclose(lo[int(far_idx[0]), int(far_idx[1])], -0.2,
-                               atol=1e-6)
+    np.testing.assert_allclose(lo[cell_of(10.0, 0.0)], -0.6, atol=1e-6)
+    # uncarved cell (beyond range): decay only
+    np.testing.assert_allclose(lo[cell_of(25.0, 0.0)], -0.2, atol=1e-6)
 
 
 def test_pipeline_with_raycast_smoke():
