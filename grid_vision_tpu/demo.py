@@ -77,7 +77,11 @@ def main(argv=None) -> None:
 
     cfg = GridVisionConfig(
         use_vision_orientation=(args.mode == "vision"),
-        max_points=8192)
+        max_points=8192,
+        # net mode picks up trained checkpoints from weights/ if present
+        detection_weights_file="/weights/detector.npz"
+        if args.det == "net" else "",
+    )
     eng = Engine(cfg, extrinsics=default_extrinsics(), seed=0)
     scene = SyntheticScene(cfg, seed=0)
     scene.add_default_traffic()

@@ -71,9 +71,13 @@ class SyntheticScene:
         return np.concatenate(pts).astype(np.float32)
 
     def image_at(self, t: float) -> np.ndarray:
-        """(H, W, 3) float32 RGB render: gray background, colored blobs
-        where objects project (enough structure for a trained detector;
-        random-weight detectors see noise either way)."""
+        """(H, W, 3) float32 RGB render: gray background + class-colored
+        boxes where objects project, using the SAME class palette the
+        synthetic trainer uses (train/synth_data.CLASS_COLORS) — so a
+        detector trained by train.fit_on_device detects this scene."""
+        from ..train.synth_data import CLASS_COLORS
+        palette = {int(row[0]): row[1:].astype(np.float32)
+                   for row in CLASS_COLORS}
         cfg = self.cfg
         h, w = cfg.camera_image_height, cfg.camera_image_width
         img = np.full((h, w, 3), 96.0, np.float32)
@@ -91,8 +95,9 @@ class SyntheticScene:
             y0, y1 = max(0, int(y0)), min(h, int(y1))
             if x1 <= x0 or y1 <= y0:
                 continue
-            color = np.array([(60 + 97 * i) % 255, (170 + 53 * i) % 255,
-                              (220 + 31 * i) % 255], np.float32)
+            color = palette.get(obj.label, np.array(
+                [(60 + 97 * i) % 255, (170 + 53 * i) % 255,
+                 (220 + 31 * i) % 255], np.float32))
             img[y0:y1, x0:x1] = color
         return img
 

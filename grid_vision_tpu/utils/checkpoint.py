@@ -26,6 +26,8 @@ def _flatten(tree, prefix=""):
 
 def save(path: str, tree: Any) -> None:
     """Save any pytree. Directory -> orbax; .npz file -> flat npz."""
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     if path.endswith(".npz"):
         np.savez_compressed(path, **_flatten(tree))
         return
