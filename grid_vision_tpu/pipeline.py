@@ -51,7 +51,8 @@ from .models import orientation_net, yolov4_tiny
 from .ops import association, lshape, multibin, plane, preprocess, rasterize
 from .ops.decode import extract_boxes
 from .taxonomy import is_dynamic
-from .types import Boxes, Extrinsics, GridState, LShapePoses, Obs, StepOutput
+from .types import (Boxes, Extrinsics, GridState, LShapePoses, Obs,
+                    PointCloud, StepOutput)
 
 
 def detect(params: Dict[str, Any], image: jnp.ndarray,
@@ -151,8 +152,8 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
 
     # --- static branch: kNN median depth -> 3D -> base frame ------------
     uvd, uvd_valid = association.project_cloud_to_image(
-        obs.cloud.__class__(xyz=cloud_cam, intensity=obs.cloud.intensity,
-                            count=obs.cloud.count), K)
+        PointCloud(xyz=cloud_cam, intensity=obs.cloud.intensity,
+                   count=obs.cloud.count), K)
     uvd_valid = uvd_valid & obs.has_cloud
     depths = association.knn_median_depth(uvd, uvd_valid, boxes, cfg.k_near)
     cam_points = pixel_to_3d(boxes.centers(), depths, K_inv)
