@@ -17,4 +17,16 @@ __all__ = [
     "GridVisionConfig", "load_config",
     "Boxes", "Extrinsics", "GridState", "LShapePoses", "Obs",
     "PointCloud", "StepOutput", "ObjectClass",
+    "Engine", "Fleet",
 ]
+
+
+def __getattr__(name):
+    # Lazy heavyweight imports: `import grid_vision_tpu` stays cheap.
+    if name == "Engine":
+        from .pipeline import Engine
+        return Engine
+    if name == "Fleet":
+        from .parallel import Fleet
+        return Fleet
+    raise AttributeError(name)

@@ -81,6 +81,8 @@ def main(argv=None) -> None:
         # net mode picks up trained checkpoints from weights/ if present
         detection_weights_file="/weights/detector.npz"
         if args.det == "net" else "",
+        vision_weights_file="/weights/orientation.npz"
+        if args.mode == "vision" else "",
     )
     eng = Engine(cfg, extrinsics=default_extrinsics(), seed=0)
     scene = SyntheticScene(cfg, seed=0)
