@@ -119,7 +119,13 @@ def quat_multiply(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_from_matrix(R: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix -> xyzw quaternion (branch-free Shepperd method)."""
+    """Rotation matrix -> xyzw quaternion (branch-free Shepperd method).
+
+    Caveat: the branch-free sign recovery degrades for rotations within
+    ~1e-3 of exactly 180 deg (w ~ 0), where the off-diagonal differences
+    that carry the signs vanish. Fine for its use here (static sensor
+    extrinsics); use a branching method if you need that edge exactly.
+    """
     m00, m01, m02 = R[0, 0], R[0, 1], R[0, 2]
     m10, m11, m12 = R[1, 0], R[1, 1], R[1, 2]
     m20, m21, m22 = R[2, 0], R[2, 1], R[2, 2]

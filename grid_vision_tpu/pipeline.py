@@ -219,6 +219,11 @@ class Engine:
     The functional core stays `pipeline.step`; this is the ergonomic
     replacement for constructing the ROS node (GridVision ctor,
     src/grid_vision_node.cpp:5-77).
+
+    NOTE: the input GridState's buffers are DONATED on each call (the
+    grid stays device-resident with no copies). Treat the passed state
+    as consumed — keep only the returned state; snapshot via StepOutput
+    (occupancy_i8) or copy explicitly before the next call.
     """
 
     def __init__(self, cfg: GridVisionConfig,
