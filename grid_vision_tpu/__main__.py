@@ -1,0 +1,87 @@
+"""Unified CLI: ``python -m grid_vision_tpu <command>``.
+
+The reference's entry point is a ROS 2 launch file that wires the node
+to a parameter YAML (launch/grid_vision.launch.xml). The equivalents:
+
+  run     stream a synthetic sequence through the engine with a config
+          YAML (the reference YAML works as-is)
+  demo    snapshot-producing demo (see demo.py for flags)
+  train   fit the detector / orientation net on-device
+  bench   the headline benchmark (one JSON line)
+
+Examples:
+  python -m grid_vision_tpu run --config config/grid_vision_cfg.yaml
+  python -m grid_vision_tpu demo --mode vision --det net
+  python -m grid_vision_tpu train detector --steps 1000
+  python -m grid_vision_tpu train orientation
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def _run(argv):
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="grid_vision_tpu run")
+    ap.add_argument("--config", default=None,
+                    help="parameter YAML (reference format accepted)")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--hz", type=float, default=10.0)
+    ap.add_argument("--realtime", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from .config import GridVisionConfig, load_config
+    from .demo import default_extrinsics
+    from .io.scene import SyntheticScene
+    from .pipeline import Engine
+    from .runtime.stream import replay
+    from .utils.stats import logger
+
+    import logging
+    logging.basicConfig(level=logging.INFO)
+    cfg = (load_config(args.config) if args.config else GridVisionConfig())
+    eng = Engine(cfg, extrinsics=default_extrinsics())
+    scene = SyntheticScene(cfg, seed=0)
+    scene.add_default_traffic()
+    res = replay(eng, scene, n_steps=args.steps, hz=args.hz,
+                 realtime=args.realtime)
+    logger.info("replayed %d steps at %.1f Hz (wall %.2fs)",
+                res.n_steps, res.achieved_hz, res.wall_s)
+
+
+def main():
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+        print(__doc__)
+        return
+    cmd, argv = sys.argv[1], sys.argv[2:]
+    if cmd == "run":
+        _run(argv)
+    elif cmd == "demo":
+        from .demo import main as demo_main
+        demo_main(argv)
+    elif cmd == "train":
+        if not argv or argv[0] not in ("detector", "orientation"):
+            print("usage: train {detector|orientation} [flags]")
+            sys.exit(2)
+        if argv[0] == "detector":
+            from .train.fit_on_device import main as fit
+        else:
+            from .train.fit_orientation import main as fit
+        fit(argv[1:])
+    elif cmd == "bench":
+        import runpy
+        sys.argv = ["bench.py"]
+        runpy.run_path("bench.py", run_name="__main__")
+    else:
+        print(f"unknown command {cmd!r}\n{__doc__}")
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()
