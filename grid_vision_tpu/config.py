@@ -94,6 +94,10 @@ class GridVisionConfig:
     compat: bool = True              # preserve reference quirks Q1-Q11 exactly
     raycast_free_space: bool = False # extension: DDA raycast carving
                                      # (must be False for bit-compat — Q2)
+    class_aware_nms: bool = False    # extension: per-class suppression
+                                     # (fixes quirk Q3 when wanted)
+    yaw_aware_rasterization: bool = False  # extension: rotated-rectangle
+                                     # footprints (fixes quirk Q11)
     compute_dtype: str = "float32"   # "bfloat16" for fast conv path
     grid_backend: str = "xla"        # "xla" (einsum rasterizer) or
                                      # "pallas" (fused one-pass kernel;
@@ -148,6 +152,12 @@ class GridVisionConfig:
             raise ValueError("iou_threshold must be in [0, 1]")
         if self.max_candidates < self.max_detections:
             raise ValueError("max_candidates must be >= max_detections")
+        if self.compat and (self.raycast_free_space or self.class_aware_nms
+                            or self.yaw_aware_rasterization):
+            raise ValueError(
+                "extensions (raycast_free_space / class_aware_nms / "
+                "yaw_aware_rasterization) deviate from reference behavior;"
+                " set compat=False to enable them")
         for name in ("max_points", "max_detections", "k_near", "ransac_iters"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")

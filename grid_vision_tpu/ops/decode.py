@@ -64,8 +64,9 @@ def extract_boxes(boxes_norm: jnp.ndarray, confs: jnp.ndarray,
     cand_xyxy = boxes_norm[cand_idx]
     cand_label = best_class[cand_idx]
 
-    order, keep = greedy_nms_keep(cand_xyxy, cand_conf, cand_valid,
-                                  cfg.iou_threshold)
+    order, keep = greedy_nms_keep(
+        cand_xyxy, cand_conf, cand_valid, cfg.iou_threshold,
+        labels=cand_label if cfg.class_aware_nms else None)
     # Compact kept boxes to the front, preserving confidence-desc order.
     # argsort of (~keep) is stable: kept rows first, original order intact.
     compact = jnp.argsort(~keep).astype(jnp.int32)

@@ -38,8 +38,13 @@ def pairwise_iou(xyxy: jnp.ndarray) -> jnp.ndarray:
 
 
 def greedy_nms_keep(xyxy: jnp.ndarray, confidence: jnp.ndarray,
-                    valid: jnp.ndarray, iou_threshold: float):
+                    valid: jnp.ndarray, iou_threshold: float,
+                    labels: jnp.ndarray | None = None):
     """Run reference-exact NMS on padded candidates.
+
+    labels=None gives the reference's class-AGNOSTIC suppression (quirk
+    Q3); passing labels restricts suppression to same-class pairs (the
+    conventional per-class NMS, available as an extension).
 
     Returns (order, keep_sorted):
       order: (N,) int32 permutation sorting by confidence descending
@@ -57,6 +62,9 @@ def greedy_nms_keep(xyxy: jnp.ndarray, confidence: jnp.ndarray,
 
     iou = pairwise_iou(boxes_s)
     later = jnp.triu(jnp.ones((n, n), bool), k=1)
+    if labels is not None:
+        labels_s = labels[order]
+        later = later & (labels_s[:, None] == labels_s[None, :])
 
     def body(i, keep):
         row = jax.lax.dynamic_index_in_dim(iou, i, axis=0, keepdims=False)

@@ -24,6 +24,7 @@ reference.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import GridVisionConfig
@@ -128,6 +129,68 @@ def point_bbox_update(log_odds: jnp.ndarray, base_points: jnp.ndarray,
     ], axis=-2)
     log_odds = _block_increment(log_odds, corners, boxes.valid, cfg)
     return _finish(log_odds, cfg)
+
+
+def yaw_from_quat(quat: jnp.ndarray) -> jnp.ndarray:
+    """Base-frame z-yaw of (..., 4) xyzw quaternions."""
+    x, y, z, w = (quat[..., i] for i in range(4))
+    return jnp.arctan2(2.0 * (w * z + x * y),
+                       1.0 - 2.0 * (y * y + z * z))
+
+
+def lshape_update_oriented(log_odds: jnp.ndarray, poses: LShapePoses,
+                           cfg: GridVisionConfig):
+    """Extension: rotated-rectangle footprints (fixes quirk Q11 — the
+    reference rasterizes axis-aligned min/max blocks regardless of the
+    estimated yaw, occupancy_grid.cpp:74-90, 140-183).
+
+    A cell is hit when its center lies inside the pose's yaw-rotated
+    length x width rectangle. Box validity keeps the reference's
+    any-off-map-corner skip, applied to the ROTATED corners.
+    """
+    h, w = cfg.grid_size
+    length = (float(cfg.grid_x), float(cfg.grid_y))
+    log_odds = log_odds + cfg.log_odds_decay
+
+    yaw = yaw_from_quat(poses.quat)                           # (D,)
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    px = poses.position[:, 0]
+    py = poses.position[:, 1]
+    hl = poses.length / 2.0
+    hw = poses.width / 2.0
+
+    # rotated corners for the validity check
+    cu = jnp.stack([hl, hl, -hl, -hl], -1)                    # (D, 4)
+    cv = jnp.stack([hw, -hw, hw, -hw], -1)
+    corners = jnp.stack([px[:, None] + c[:, None] * cu - s[:, None] * cv,
+                         py[:, None] + s[:, None] * cu + c[:, None] * cv],
+                        axis=-1)                              # (D, 4, 2)
+    _, corner_ok = grid_index_from_position(corners, cfg.grid_center,
+                                            length, cfg.resolution)
+    ok = poses.valid & jnp.all(corner_ok, axis=-1)            # (D,)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    centers = _cell_centers(rows, cols, cfg)                  # (H, W, 2)
+    rx = centers[None, ..., 0] - px[:, None, None]            # (D, H, W)
+    ry = centers[None, ..., 1] - py[:, None, None]
+    u = c[:, None, None] * rx + s[:, None, None] * ry
+    v = -s[:, None, None] * rx + c[:, None, None] * ry
+    inside = ((jnp.abs(u) <= hl[:, None, None])
+              & (jnp.abs(v) <= hw[:, None, None])
+              & ok[:, None, None])
+    increment = cfg.log_odds_hit * jnp.sum(inside.astype(jnp.float32),
+                                           axis=0)
+    return _finish(log_odds + increment, cfg)
+
+
+def _cell_centers(rows: jnp.ndarray, cols: jnp.ndarray,
+                  cfg: GridVisionConfig) -> jnp.ndarray:
+    from ..geometry import grid_position_from_index
+    length = (float(cfg.grid_x), float(cfg.grid_y))
+    return grid_position_from_index(
+        jnp.stack([rows, cols], axis=-1), cfg.grid_center, length,
+        cfg.resolution)
 
 
 def export_occupancy_i8(occupancy: jnp.ndarray) -> jnp.ndarray:

@@ -187,6 +187,9 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
         new_lo, new_occ = raycast.lshape_update_with_carving(
             state.log_odds, poses, origin_xy, cloud_base[:, :2],
             cloud_valid, cfg)
+    elif cfg.yaw_aware_rasterization:
+        new_lo, new_occ = rasterize.lshape_update_oriented(
+            state.log_odds, poses, cfg)
     elif cfg.grid_backend == "pallas":
         from .ops.pallas_grid import lshape_update_pallas
         new_lo, new_occ = lshape_update_pallas(state.log_odds, poses, cfg)
