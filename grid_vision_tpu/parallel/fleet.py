@@ -80,3 +80,39 @@ class Fleet:
     def __call__(self, states: GridState, obs_batch: Obs):
         """states/obs_batch have leading rig axis. Returns (states, outs)."""
         return self._step(self.params, states, obs_batch, self.extrinsics)
+
+    def run(self, states: GridState, obs_batch: Obs, steps: int):
+        """Sustained mode: `steps` fused ticks on the SAME observations
+        inside one dispatch (lax.scan) — the deployment shape for
+        maximum throughput (per-dispatch overhead amortized to zero).
+        Returns the final states; per-step outputs are not materialized.
+        """
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnums=(3,))
+        def chunk(params, states, obs, n, extr):
+            def body(s, _):
+                vstep = jax.vmap(
+                    functools.partial(pipeline.step, cfg=self.cfg),
+                    in_axes=(None, 0, 0, None))
+                s2, _out = vstep(params, s, obs, extr)
+                return s2, ()
+            states, _ = jax.lax.scan(body, states, None, length=n)
+            return states
+
+        return chunk(self.params, states, obs_batch, steps,
+                     self.extrinsics)
+
+    # -- checkpoint / resume (the whole fleet's grids) --------------------
+    def save_states(self, states: GridState, path: str) -> None:
+        from ..utils import checkpoint
+        checkpoint.save(path, states)
+
+    def restore_states(self, path: str) -> GridState:
+        from ..utils import checkpoint
+        like = GridState.create_batch(self.cfg, self.n_rigs)
+        states = checkpoint.restore(path, like)
+        return jax.device_put(
+            states,
+            jax.tree_util.tree_map(lambda _: self._rig_sharding, states))

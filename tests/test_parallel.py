@@ -115,3 +115,20 @@ def test_tp_sharding_applied():
     sharded = [l for _, l in wide
                if len(l.sharding.device_set) == 8]
     assert sharded, "no wide kernel was tp-sharded"
+
+
+def test_fleet_run_and_checkpoint(tmp_path):
+    import os
+    n_rigs = 8
+    fleet = Fleet(TINY, n_rigs=n_rigs, seed=0)
+    rng = np.random.default_rng(2)
+    obs = fleet.shard_obs(make_obs(rng, TINY, n_rigs))
+    states = fleet.init_states()
+    states = fleet.run(states, obs, steps=3)
+    assert int(np.asarray(states.step).min()) == 3
+    path = os.path.join(tmp_path, "fleet.npz")
+    fleet.save_states(states, path)
+    restored = fleet.restore_states(path)
+    np.testing.assert_array_equal(np.asarray(restored.log_odds),
+                                  np.asarray(states.log_odds))
+    assert len(restored.log_odds.sharding.device_set) == 8
