@@ -1,0 +1,84 @@
+"""Device-time profile of the fused pipeline: jax.profiler + trace parse.
+
+Produces a ranked table of XLA op fusions by device time for one fleet
+chunk (the profiler works through the axon tunnel; traces land under
+--out as xplane + chrome-trace). Use to find the next hot op after
+tools/perf_ablate.py localizes the hot *stage*.
+
+Usage: python tools/profile_step.py [--rigs 64] [--scan 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import functools
+import glob
+import gzip
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rigs", type=int, default=64)
+    ap.add_argument("--scan", type=int, default=4)
+    ap.add_argument("--out", default="/tmp/gv_trace")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from grid_vision_tpu import pipeline
+    from grid_vision_tpu.config import GridVisionConfig
+    from grid_vision_tpu.types import GridState
+    from bench import readback, synth_obs
+
+    cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16")
+    eng = pipeline.Engine(cfg, seed=0)
+    vstep = jax.vmap(functools.partial(pipeline.step, cfg=cfg),
+                     in_axes=(None, 0, 0, None))
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def chunk(params, states, extr, key):
+        def body(s, kk):
+            obs = jax.vmap(functools.partial(synth_obs, cfg=cfg))(
+                jax.random.split(kk, args.rigs))
+            s2, _ = vstep(params, s, obs, extr)
+            return s2, ()
+        states, _ = jax.lax.scan(body, states,
+                                 jax.random.split(key, args.scan))
+        return states
+
+    states = GridState.create_batch(cfg, args.rigs)
+    states = chunk(eng.params, states, eng.extrinsics, jax.random.PRNGKey(0))
+    _ = readback(states.log_odds)   # compile + settle outside the trace
+
+    jax.profiler.start_trace(args.out)
+    states = chunk(eng.params, states, eng.extrinsics, jax.random.PRNGKey(1))
+    _ = readback(states.log_odds)
+    jax.profiler.stop_trace()
+
+    f = sorted(glob.glob(f"{args.out}/**/*.trace.json.gz",
+                         recursive=True))[-1]
+    with gzip.open(f) as fh:
+        trace = json.load(fh)
+    durs = collections.Counter()
+    for ev in trace.get("traceEvents", []):
+        # keep device-side complete events; drop python host frames
+        if (ev.get("ph") == "X" and "dur" in ev
+                and not ev.get("name", "").startswith("$")
+                and "asarray" not in ev.get("name", "")):
+            durs[ev["name"]] += ev["dur"]
+    frames = args.rigs * args.scan
+    print(f"frames: {frames}; top ops by device time:")
+    for name, d in durs.most_common(args.top):
+        print(f"{d / 1e3:9.2f} ms  {d / frames:7.1f} us/frame  {name[:90]}")
+    print(f"trace: {f}")
+
+
+if __name__ == "__main__":
+    main()
