@@ -21,13 +21,19 @@ from ..types import Boxes, LShapePoses, StepOutput
 
 
 def draw_boxes(image: np.ndarray, boxes: Boxes,
-               color=(0, 255, 0), thickness: int = 2) -> np.ndarray:
-    """Green 2px rectangles, like draw_bboxes (labels go to the marker
-    dump; no font rendering without cv2)."""
+               color=(0, 255, 0), thickness: int = 2,
+               labels: bool = True) -> np.ndarray:
+    """Green 2px rectangles + "Label (conf)" text above each box — the
+    draw_bboxes overlay (object_detection.cpp:213-224), rendered with a
+    builtin bitmap font (no cv2)."""
+    from .font import GLYPH_H, draw_text
+
     img = np.array(image, np.float32, copy=True)
     h, w = img.shape[:2]
     xyxy = np.asarray(boxes.xyxy)
     valid = np.asarray(boxes.valid)
+    confs = np.asarray(boxes.confidence)
+    lbls = np.asarray(boxes.label)
     col = np.asarray(color, np.float32)
     for i in range(xyxy.shape[0]):
         if not valid[i]:
@@ -40,6 +46,9 @@ def draw_boxes(image: np.ndarray, boxes: Boxes,
         img[max(y1 - t + 1, 0):y1 + 1, x0:x1 + 1] = col
         img[y0:y1 + 1, x0:x0 + t] = col
         img[y0:y1 + 1, max(x1 - t + 1, 0):x1 + 1] = col
+        if labels:
+            text = f"{class_name(int(lbls[i]))} ({confs[i]:.2f})"
+            draw_text(img, text, x0, y0 - GLYPH_H - 2, color)
     return img
 
 
