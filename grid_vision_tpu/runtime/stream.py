@@ -50,36 +50,48 @@ class ReplayResult:
 
 def replay(engine: Engine, scene: SyntheticScene, n_steps: int,
            hz: float = 10.0, realtime: bool = False,
-           on_step: Optional[Callable] = None) -> ReplayResult:
+           on_step: Optional[Callable] = None,
+           prefetch: int = 2) -> ReplayResult:
     """Run a temporal sequence through the engine.
 
     realtime=False free-runs (throughput mode); realtime=True paces the
     loop at `hz` like the reference's wall timer, overwriting stale
     frames (latest-wins) if the device is slower than the sensor.
+
+    Host scene generation/packing overlaps device compute: a background
+    thread keeps `prefetch` observations in flight (jax dispatch is
+    async, so the device executes step t while the host builds t+1..).
     """
+    import concurrent.futures
+
     cfg = engine.cfg
     state = engine.init_state()
     period = 1.0 / hz
 
-    # Prefetch obs 0 (double buffering: obs t+1 transfers during step t).
-    next_obs = obs_from_scene(scene, 0.0, cfg)
     stats: List[StepStats] = []
-    t_start = time.perf_counter()
-    for i in range(n_steps):
-        obs = next_obs
-        t0 = time.perf_counter()
-        state, out = engine(state, obs)   # async dispatch
-        t_dispatch = time.perf_counter() - t0
-        if i + 1 < n_steps:
-            next_obs = obs_from_scene(scene, (i + 1) * period, cfg)
-        if on_step is not None:
-            on_step(i, state, out)
-        stats.append(StepStats(step=i, dispatch_s=t_dispatch))
-        if realtime:
-            sleep = (i + 1) * period - (time.perf_counter() - t_start)
-            if sleep > 0:
-                time.sleep(sleep)
-    jax.block_until_ready(state.log_odds)
-    wall = time.perf_counter() - t_start
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+        futures = {
+            i: pool.submit(obs_from_scene, scene, i * period, cfg)
+            for i in range(min(prefetch, n_steps))
+        }
+        t_start = time.perf_counter()
+        for i in range(n_steps):
+            obs = futures.pop(i).result()
+            j = i + prefetch
+            if j < n_steps:
+                futures[j] = pool.submit(obs_from_scene, scene,
+                                         j * period, cfg)
+            t0 = time.perf_counter()
+            state, out = engine(state, obs)   # async dispatch
+            t_dispatch = time.perf_counter() - t0
+            if on_step is not None:
+                on_step(i, state, out)
+            stats.append(StepStats(step=i, dispatch_s=t_dispatch))
+            if realtime:
+                sleep = (i + 1) * period - (time.perf_counter() - t_start)
+                if sleep > 0:
+                    time.sleep(sleep)
+        jax.block_until_ready(state.log_odds)
+        wall = time.perf_counter() - t_start
     return ReplayResult(n_steps=n_steps, wall_s=wall, stats=stats,
                         final_state=state)
