@@ -136,7 +136,7 @@ def main():
     scene = SyntheticScene(cfg, seed=0)
     scene.add_default_traffic()
     replay(eng4, scene, n_steps=2)  # compile
-    res = replay(eng4, scene, n_steps=20)
+    res = replay(eng4, scene, n_steps=50)
     results["streaming_achieved_hz"] = res.achieved_hz
     log(f"config4 {res.achieved_hz:.1f} Hz (host-paced)")
 
