@@ -182,3 +182,62 @@ def test_full_step_vision_mode_smoke():
         np.testing.assert_allclose(lo, -0.2, atol=1e-6)
     state3, out3 = eng(state2, obs)
     assert int(state3.step) == 2
+
+
+def test_q7_orientation_batch_clamped_to_first_eight():
+    """Quirk Q7: the reference overflows its TRT buffers beyond 8 dynamic
+    boxes; we process the first max_orientation_batch in confidence
+    order and drop the rest."""
+    from grid_vision_tpu.pipeline import _compact_dynamic
+
+    cap = 16
+    xyxy = np.tile(np.asarray([[10, 10, 60, 60]], np.float32), (cap, 1))
+    conf = np.linspace(0.99, 0.6, cap).astype(np.float32)
+    labels = np.full((cap,), 9, np.int32)   # all dynamic vehicles
+    labels[1] = 5                           # one static in second place
+    boxes = Boxes(xyxy=jnp.asarray(xyxy), confidence=jnp.asarray(conf),
+                  label=jnp.asarray(labels), valid=jnp.ones(cap, bool))
+    dyn, order = _compact_dynamic(boxes, 8)
+    assert int(np.asarray(dyn.valid).sum()) == 8
+    got_conf = np.asarray(dyn.confidence)
+    # first 8 dynamic boxes in confidence order (the static one skipped)
+    expect = np.concatenate([conf[:1], conf[2:9]])
+    np.testing.assert_allclose(got_conf, expect)
+    assert (np.asarray(dyn.label) == 9).all()
+
+
+def test_pca_path_rasterizes_static_boxes_too(pca_engine):
+    """The reference's PCA branch passes ALL bboxes to computeBBoxPose
+    (grid_vision_node.cpp:215-216), so static objects DO hit the grid in
+    that mode (unlike the vision branch) — as long as at least one
+    dynamic box exists to enter the branch."""
+    cfg = pca_engine
+    rng = np.random.default_rng(21)
+    xyz, car = synthetic_scene(rng)
+    # second dense cluster away from the car: a "traffic light" blob
+    light_pts = np.stack([
+        rng.uniform(-3.4, -2.6, 250),
+        rng.uniform(-1.4, -0.6, 250),
+        rng.uniform(19.6, 20.4, 250),
+    ], 1).astype(np.float32)
+    xyz = np.concatenate([xyz, light_pts])
+    cloud = PointCloud.from_numpy(xyz, None, cfg.max_points)
+
+    car_box = project_bbox(car)
+    car_box["label"] = 9                     # dynamic
+    light_box = project_bbox(light_pts)
+    light_box["label"] = 5                   # static (red light)
+    boxes = make_boxes([car_box, light_box], cfg.max_detections)
+    obs = Obs(image=jnp.zeros((480, 640, 3)), cloud=cloud,
+              has_image=jnp.asarray(True), has_cloud=jnp.asarray(True))
+    state = GridState.create(cfg)
+    fuse = jax.jit(lambda s, o, b: pipeline.fuse({}, s, o, b, EXTR, cfg))
+    _, out = fuse(state, obs, boxes)
+    valid = np.asarray(out.poses.valid)
+    assert valid[0] and valid[1]             # BOTH boxes produced poses
+    # and the static object's pose rasterized: its base-frame position is
+    # ~ (20, 3) (camera (x=-3, z=20) -> base (20, 3))
+    pos = np.asarray(out.poses.position)
+    static_pos = pos[1]
+    np.testing.assert_allclose(static_pos[0], 20.0, atol=0.5)
+    np.testing.assert_allclose(static_pos[1], 3.0, atol=0.5)
