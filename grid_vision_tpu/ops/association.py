@@ -57,20 +57,21 @@ def knn_median_depth(uvd: jnp.ndarray, uvd_valid: jnp.ndarray,
           + uvd[None, :, 2] ** 2)                              # (D, P)
     d2 = jnp.where(uvd_valid[None, :], d2, jnp.inf)
     # k iterative argmin passes instead of lax.top_k: top_k sorts the
-    # whole 8k-point axis per box, k cheap reduction passes are faster
-    # on TPU for the small k_near values in play (4-10).
+    # whole 8k-point axis per box; k cheap reduction passes are faster
+    # on TPU for the small k_near values in play (4-10). The loop is
+    # UNROLLED (python for, k is static) rather than lax.scan: a scan
+    # would carry the masked (D, P) matrix through HBM every pass, while
+    # the unrolled chain lets XLA fuse the masking into recomputation.
     cols = jnp.arange(d2.shape[1], dtype=jnp.int32)
-
-    def take_min(carry, _):
-        cur = carry
+    cur = d2
+    vals, idxs = [], []
+    for _ in range(k):
         j = jnp.argmin(cur, axis=-1)                           # (D,)
-        v = jnp.take_along_axis(cur, j[:, None], axis=-1)[:, 0]
+        vals.append(jnp.take_along_axis(cur, j[:, None], axis=-1)[:, 0])
+        idxs.append(j)
         cur = jnp.where(cols[None, :] == j[:, None], jnp.inf, cur)
-        return cur, (v, j)
-
-    _, (neg_vals, idx_t) = jax.lax.scan(take_min, d2, None, length=k)
-    neg_d2 = -jnp.moveaxis(neg_vals, 0, -1)                    # (D, k)
-    idx = jnp.moveaxis(idx_t, 0, -1).astype(jnp.int32)         # (D, k)
+    neg_d2 = -jnp.stack(vals, axis=-1)                         # (D, k)
+    idx = jnp.stack(idxs, axis=-1).astype(jnp.int32)           # (D, k)
     neighbor_ok = jnp.isfinite(neg_d2)
     n_found = jnp.sum(neighbor_ok.astype(jnp.int32), axis=-1)  # (D,)
     depths = jnp.take_along_axis(
