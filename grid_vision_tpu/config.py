@@ -102,6 +102,8 @@ class GridVisionConfig:
     grid_backend: str = "xla"        # "xla" (einsum rasterizer) or
                                      # "pallas" (fused one-pass kernel;
                                      # bit-equal, interpret-mode on CPU)
+    knn_backend: str = "xla"         # "xla" (k argmin passes) or
+                                     # "pallas" (VMEM-resident k-NN)
     orientation_width: int = 32     # orientation-net stem width (the
                                     # TRT engine's architecture is
                                     # unknown; this sizes the ResNet

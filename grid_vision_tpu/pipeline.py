@@ -155,7 +155,12 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
         PointCloud(xyz=cloud_cam, intensity=obs.cloud.intensity,
                    count=obs.cloud.count), K)
     uvd_valid = uvd_valid & obs.has_cloud
-    depths = association.knn_median_depth(uvd, uvd_valid, boxes, cfg.k_near)
+    if cfg.knn_backend == "pallas":
+        from .ops.pallas_knn import knn_median_depth_pallas
+        depths = knn_median_depth_pallas(uvd, uvd_valid, boxes, cfg.k_near)
+    else:
+        depths = association.knn_median_depth(uvd, uvd_valid, boxes,
+                                              cfg.k_near)
     cam_points = pixel_to_3d(boxes.centers(), depths, K_inv)
     base_points = transform_points(extrinsics.camera_to_base, cam_points)
     static_points = jnp.where(static_mask[:, None], base_points, 0.0)

@@ -152,3 +152,14 @@ def test_ransac_too_few_points():
         distance_threshold=0.04)
     assert not bool(ok)
     assert not np.asarray(non_ground).any()
+
+
+def test_pallas_knn_matches_xla(rng):
+    from grid_vision_tpu.ops.pallas_knn import knn_median_depth_pallas
+    xyz, cloud = make_cloud(rng, n=700)
+    uvd, valid = association.project_cloud_to_image(cloud, jnp.asarray(K_NP))
+    boxes = make_boxes(BOXES)
+    ref = np.asarray(association.knn_median_depth(uvd, valid, boxes, 4))
+    got = np.asarray(knn_median_depth_pallas(uvd, valid, boxes, 4))
+    np.testing.assert_allclose(got[:len(BOXES)], ref[:len(BOXES)],
+                               rtol=1e-6)
