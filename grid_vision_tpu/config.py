@@ -110,6 +110,9 @@ class GridVisionConfig:
                                     # capacity / FLOPs tradeoff — 32
                                     # measured 0.69 -> ~0.2 ms/frame at
                                     # equal output contract)
+    orientation_arch: str = "s2d"   # "s2d" (space-to-depth stem, MXU-
+                                    # aligned channels — round-2 default)
+                                    # or "resnet" (round-1 ResNet-18)
 
     # ------------------------------------------------------------------
     # Derived geometry (grid_map semantics).
@@ -160,6 +163,9 @@ class GridVisionConfig:
                 "extensions (raycast_free_space / class_aware_nms / "
                 "yaw_aware_rasterization) deviate from reference behavior;"
                 " set compat=False to enable them")
+        if self.orientation_arch not in ("s2d", "resnet"):
+            raise ValueError(
+                f"unknown orientation_arch {self.orientation_arch!r}")
         for name in ("max_points", "max_detections", "k_near", "ransac_iters"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")

@@ -32,6 +32,11 @@ class OrientationConfig:
     input_size: int = 224
     compute_dtype: Any = jnp.bfloat16
     width: int = 64  # stem width; stages are width * (1, 2, 4, 8)
+    # "s2d": space-to-depth stem + MXU-aligned conv ladder (default —
+    #   ~3x fewer FLOPs than the resnet at far better MXU utilization;
+    #   see docs/PERF.md round-2 table). "resnet": the round-1 ResNet-18
+    #   variant, kept for checkpoints trained against it.
+    arch: str = "s2d"
 
 
 class ResBlock(nn.Module):
@@ -60,6 +65,30 @@ class ResBlock(nn.Module):
         return nn.relu(y + residual).astype(self.dtype)
 
 
+class MultiBinHeads(nn.Module):
+    """The three Deep3DBox heads: orientation (bins, 2) L2-normalized,
+    bin confidence (bins,), dimension residuals (3,)."""
+    bins: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        orient = nn.Dense(256, name="orient_fc1")(x)
+        orient = nn.relu(orient)
+        orient = nn.Dense(self.bins * 2, name="orient_fc2")(orient)
+        orient = orient.reshape(x.shape[0], self.bins, 2)
+        norm = jnp.linalg.norm(orient, axis=-1, keepdims=True)
+        orient = orient / jnp.maximum(norm, 1e-8)
+
+        conf = nn.Dense(256, name="conf_fc1")(x)
+        conf = nn.relu(conf)
+        conf = nn.Dense(self.bins, name="conf_fc2")(conf)
+
+        dims = nn.Dense(512, name="dim_fc1")(x)
+        dims = nn.relu(dims)
+        dims = nn.Dense(3, name="dim_fc2")(dims)
+        return orient, conf, dims
+
+
 class OrientationNet(nn.Module):
     cfg: OrientationConfig = OrientationConfig()
 
@@ -78,30 +107,76 @@ class OrientationNet(nn.Module):
             x = ResBlock(c.width * mult, stride, dtype=d)(x, train)
             x = ResBlock(c.width * mult, 1, dtype=d)(x, train)
         x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # global avg pool
+        return MultiBinHeads(c.bins)(x)
 
-        # Three heads (Deep3DBox): orientation (bins, 2) L2-normalized,
-        # bin confidence (bins,), dimension residuals (3,).
-        orient = nn.Dense(256, name="orient_fc1")(x)
-        orient = nn.relu(orient)
-        orient = nn.Dense(c.bins * 2, name="orient_fc2")(orient)
-        orient = orient.reshape(x.shape[0], c.bins, 2)
-        norm = jnp.linalg.norm(orient, axis=-1, keepdims=True)
-        orient = orient / jnp.maximum(norm, 1e-8)
 
-        conf = nn.Dense(256, name="conf_fc1")(x)
-        conf = nn.relu(conf)
-        conf = nn.Dense(c.bins, name="conf_fc2")(conf)
+def space_to_depth(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/b, W/b, C*b*b) lossless repack."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // block, w // block, c * block * block)
 
-        dims = nn.Dense(512, name="dim_fc1")(x)
-        dims = nn.relu(dims)
-        dims = nn.Dense(3, name="dim_fc2")(dims)
-        return orient, conf, dims
+
+class OrientationNetS2D(nn.Module):
+    """TPU-first MultiBin regressor: space-to-depth(4) stem + a short
+    stride-2 conv ladder with MXU-aligned channel counts.
+
+    Rationale: the reference's TRT engine internals are unknown — only
+    the I/O contract constrains the architecture — so the net is free to
+    be hardware-shaped. A 7x7/s2 stem on 3 channels plus 56x56 stages at
+    32 channels (the round-1 ResNet) runs the 128x128 systolic array at
+    <25% lane occupancy; repacking 4x4 pixel blocks into 48 channels and
+    jumping straight to 128/256 channels keeps every matmul MXU-shaped.
+    ~160M MACs/crop vs ~520M for the resnet variant at equal contract.
+    """
+    cfg: OrientationConfig = OrientationConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        d = c.compute_dtype
+        w = c.width
+        x = space_to_depth(x.astype(d), 4)      # (N, in/4, in/4, 48)
+        stage_ch = (4 * w, 8 * w, 8 * w, 8 * w, 8 * w)
+        i = 0
+        while x.shape[1] > 7:                   # stride-2 ladder down to 7
+            x = ConvBN(stage_ch[min(i, len(stage_ch) - 1)], stride=2,
+                       dtype=d)(x, train)
+            i += 1
+        x = ConvBN(8 * w, stride=1, dtype=d)(x, train)
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        return MultiBinHeads(c.bins)(x)
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+def make_model(cfg: OrientationConfig) -> nn.Module:
+    if cfg.arch == "s2d":
+        return OrientationNetS2D(cfg)
+    if cfg.arch == "resnet":
+        return OrientationNet(cfg)
+    raise ValueError(f"unknown orientation arch {cfg.arch!r}")
 
 
 def init_params(rng: jax.Array, cfg: OrientationConfig = OrientationConfig()):
     """jit-wrapped init (one compiled computation instead of hundreds of
     eager dispatches — see yolov4_tiny.init_params)."""
-    model = OrientationNet(cfg)
+    model = make_model(cfg)
 
     @jax.jit
     def _init(rng):
@@ -116,5 +191,5 @@ def forward(variables, crops: jnp.ndarray,
             cfg: OrientationConfig = OrientationConfig()):
     """crops (N, 224, 224, 3) standardized -> (orient (N, 2, 2),
     conf (N, 2), dims (N, 3))."""
-    model = OrientationNet(cfg)
+    model = make_model(cfg)
     return model.apply(variables, crops, train=False)

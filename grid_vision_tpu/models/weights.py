@@ -24,7 +24,8 @@ def init_all(cfg: GridVisionConfig, seed: int = 0) -> Dict[str, Any]:
     kd, ko = jax.random.split(jax.random.PRNGKey(seed))
     ycfg = yolov4_tiny.YoloConfig(input_size=cfg.resize)
     ocfg = orientation_net.OrientationConfig(
-        input_size=cfg.network_height, width=cfg.orientation_width)
+        input_size=cfg.network_height, width=cfg.orientation_width,
+        arch=cfg.orientation_arch)
     return {
         "detector": yolov4_tiny.init_params(kd, ycfg),
         "orientation": orientation_net.init_params(ko, ocfg),

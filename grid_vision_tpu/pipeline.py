@@ -95,6 +95,7 @@ def _vision_orientation_poses(params, image, boxes: Boxes,
         else jnp.float32)
     ocfg = orientation_net.OrientationConfig(
         input_size=cfg.network_height, width=cfg.orientation_width,
+        arch=cfg.orientation_arch,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
         else jnp.float32)
     orient, conf, dims = orientation_net.forward(

@@ -32,6 +32,7 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--input-size", type=int, default=224)
     ap.add_argument("--width", type=int, default=32)
+    ap.add_argument("--arch", default="s2d", choices=("s2d", "resnet"))
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -79,7 +80,8 @@ def main(argv=None):
         tgt_bin = jnp.argmin(jnp.abs(delta))
         return crop, tgt_bin.astype(jnp.int32), delta[tgt_bin]
 
-    ocfg = OrientationConfig(input_size=size, width=args.width)
+    ocfg = OrientationConfig(input_size=size, width=args.width,
+                             arch=args.arch)
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup_steps=min(100, args.steps // 5),
         decay_steps=args.steps)

@@ -95,7 +95,7 @@ def multibin_loss(variables, crops, tgt_dims, tgt_bin, tgt_angle_offset,
                   train: bool = True):
     """crops (B,224,224,3); tgt_dims (B,3) residuals; tgt_bin (B,) int;
     tgt_angle_offset (B,) residual angle within the bin."""
-    model = orientation_net.OrientationNet(cfg)
+    model = orientation_net.make_model(cfg)
     if train:
         (orient, conf, dims), mutated = model.apply(
             variables, crops, train=True, mutable=["batch_stats"])
