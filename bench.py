@@ -66,9 +66,14 @@ def synth_obs(rng, cfg: GridVisionConfig) -> Obs:
                has_cloud=jnp.asarray(True))
 
 
-def build_obs_pool(cfg: GridVisionConfig, n_rigs: int) -> Obs:
+def build_obs_pool(cfg: GridVisionConfig, n_rigs: int,
+                   image_dtype=None) -> Obs:
     """Batched Obs (leading axis n_rigs) of host-rendered traffic scenes,
-    one per rig, device_put once (outside the timed region)."""
+    one per rig, device_put once (outside the timed region).
+
+    image_dtype: storage dtype for the image pool (bf16 in fast mode —
+    camera pixels are 8-bit to begin with, and bf16 storage halves the
+    HBM traffic of every consumer, measured ~20 us/frame)."""
     import numpy as np
 
     from grid_vision_tpu.io.scene import SyntheticScene
@@ -89,7 +94,8 @@ def build_obs_pool(cfg: GridVisionConfig, n_rigs: int) -> Obs:
         clouds.append(PointCloud.from_numpy(scene.cloud_at(t), None,
                                             cfg.max_points))
     pool = Obs(
-        image=jnp.asarray(np.stack(images)),
+        image=jnp.asarray(np.stack(images),
+                          dtype=image_dtype or jnp.float32),
         cloud=PointCloud(
             xyz=jnp.asarray(np.stack([np.asarray(c.xyz) for c in clouds])),
             intensity=jnp.asarray(
@@ -113,7 +119,7 @@ def perturb_obs(pool: Obs, key: jnp.ndarray, n_rigs: int) -> Obs:
     jitter = jax.random.uniform(kp, (n_rigs, 1, 3), jnp.float32,
                                 -0.03, 0.03)
     return Obs(
-        image=pool.image + bright,
+        image=pool.image + bright.astype(pool.image.dtype),
         cloud=PointCloud(xyz=pool.cloud.xyz + jitter,
                          intensity=pool.cloud.intensity,
                          count=pool.cloud.count),
@@ -126,15 +132,29 @@ def readback(x) -> float:
 
 
 def main():
-    n_rigs = int(os.environ.get("GV_BENCH_RIGS", "64"))
+    n_rigs = int(os.environ.get("GV_BENCH_RIGS", "128"))
     scan_steps = int(os.environ.get("GV_BENCH_SCAN", "8"))
     budget_s = float(os.environ.get("GV_BENCH_BUDGET_S", "180"))
 
-    cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16")
+    # Fleet-compacted orientation: per-step crop batch = the top-`budget`
+    # dynamic detections fleet-wide (load-proportional, like the
+    # reference's "only run TRT on the dynamic boxes this frame
+    # produced"); budget >= rigs*8 degenerates to exact vmap(step). The
+    # default (5/rig) exceeds this scene pool's measured load (236 valid
+    # dynamic boxes across 64 rigs = 3.69/rig after the per-rig Q7
+    # clamp), so nothing is dropped — see tools/bench_load_report.py.
+    budget = int(os.environ.get("GV_BENCH_ORIENT_BUDGET", 5 * n_rigs))
+
+    cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16",
+                           knn_backend="approx",
+                           detection_weights_file="weights/detector.npz",
+                           vision_weights_file="weights/orientation.npz")
     eng = pipeline.Engine(cfg, seed=0)
-    pool = build_obs_pool(cfg, n_rigs)
-    step = functools.partial(pipeline.step, cfg=cfg)
-    vstep = jax.vmap(step, in_axes=(None, 0, 0, None))
+    pool = build_obs_pool(cfg, n_rigs, image_dtype=jnp.bfloat16)
+
+    def vstep(params, s, obs_t, extr):
+        return pipeline.fleet_step(params, s, obs_t, extr, cfg,
+                                   orientation_budget=budget)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def run_chunk(params, states, pool, extr, chunk_key):

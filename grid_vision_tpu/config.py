@@ -102,7 +102,10 @@ class GridVisionConfig:
     grid_backend: str = "xla"        # "xla" (einsum rasterizer) or
                                      # "pallas" (fused one-pass kernel;
                                      # bit-equal, interpret-mode on CPU)
-    knn_backend: str = "xla"         # "xla" (k argmin passes) or
+    knn_backend: str = "xla"         # "xla" (exact, k argmin passes),
+                                     # "approx" (TPU partial-reduction
+                                     # top-k, recall 0.99 — markers only,
+                                     # grid unaffected per quirk Q6), or
                                      # "pallas" (VMEM-resident k-NN)
     orientation_width: int = 32     # orientation-net stem width (the
                                     # TRT engine's architecture is

@@ -57,9 +57,29 @@ def _interp_weights(length_in: int, lo, hi, frac) -> jnp.ndarray:
             + (cols == hi[:, None]) * frac[:, None]).astype(jnp.float32)
 
 
+
+def _box_weights(xyxy, h: int, w: int, out_size: int):
+    """Per-box bilinear interpolation weight matrices ((out, h), (out, w))
+    for the getNetworkBoundingBox crop semantics (int-truncated, clamped
+    corners; cv::Rect excludes the max column)."""
+    xmin = jnp.maximum(0, jnp.trunc(xyxy[0]).astype(jnp.int32))
+    ymin = jnp.maximum(0, jnp.trunc(xyxy[1]).astype(jnp.int32))
+    xmax = jnp.minimum(w - 1, jnp.trunc(xyxy[2]).astype(jnp.int32))
+    ymax = jnp.minimum(h - 1, jnp.trunc(xyxy[3]).astype(jnp.int32))
+    bw = jnp.maximum(xmax - xmin, 1).astype(jnp.float32)
+    bh = jnp.maximum(ymax - ymin, 1).astype(jnp.float32)
+    ylo, yhi, fy = _bilinear_sample_axis(h, ymin.astype(jnp.float32),
+                                         bh, out_size)
+    xlo, xhi, fx = _bilinear_sample_axis(w, xmin.astype(jnp.float32),
+                                         bw, out_size)
+    return (_interp_weights(h, ylo, yhi, fy),
+            _interp_weights(w, xlo, xhi, fx))
+
+
 def crop_resize_standardize(image: jnp.ndarray, boxes: Boxes,
                             out_size: int,
-                            compute_dtype=jnp.float32) -> jnp.ndarray:
+                            compute_dtype=jnp.float32,
+                            out_dtype=None) -> jnp.ndarray:
     """(H, W, 3) image + padded Boxes -> (D, out, out, 3) standardized
     crops. Invalid boxes yield zero crops (standardization is guarded).
 
@@ -74,22 +94,9 @@ def crop_resize_standardize(image: jnp.ndarray, boxes: Boxes,
     slower than this MXU formulation (tools/perf_ablate.py, stage d).
     """
     h, w, _ = image.shape
-
-    def box_weights(xyxy):
-        xmin = jnp.maximum(0, jnp.trunc(xyxy[0]).astype(jnp.int32))
-        ymin = jnp.maximum(0, jnp.trunc(xyxy[1]).astype(jnp.int32))
-        xmax = jnp.minimum(w - 1, jnp.trunc(xyxy[2]).astype(jnp.int32))
-        ymax = jnp.minimum(h - 1, jnp.trunc(xyxy[3]).astype(jnp.int32))
-        bw = jnp.maximum(xmax - xmin, 1).astype(jnp.float32)
-        bh = jnp.maximum(ymax - ymin, 1).astype(jnp.float32)
-        ylo, yhi, fy = _bilinear_sample_axis(h, ymin.astype(jnp.float32),
-                                             bh, out_size)
-        xlo, xhi, fx = _bilinear_sample_axis(w, xmin.astype(jnp.float32),
-                                             bw, out_size)
-        return (_interp_weights(h, ylo, yhi, fy),
-                _interp_weights(w, xlo, xhi, fx))
-
-    wy, wx = jax.vmap(box_weights)(boxes.xyxy)      # (D, out, H), (D, out, W)
+    wy, wx = jax.vmap(
+        lambda b: _box_weights(b, h, w, out_size))(boxes.xyxy)
+    # wy (D, out, H), wx (D, out, W)
     # crop[d, i, j, c] = sum_{y, x} Wy[d, i, y] * image[y, x, c] * Wx[d, j, x]
     # MXU inputs in compute_dtype (bf16 in fast mode), f32 accumulation.
     wy = wy.astype(compute_dtype)
@@ -99,8 +106,16 @@ def crop_resize_standardize(image: jnp.ndarray, boxes: Boxes,
                      preferred_element_type=jnp.float32)
     crops = jnp.einsum("djx,dixc->dijc", wx, tmp.astype(compute_dtype),
                        preferred_element_type=jnp.float32)
+    return _standardize(crops, boxes.valid, out_dtype)
 
+
+def _standardize(crops: jnp.ndarray, valid: jnp.ndarray,
+                 out_dtype=None) -> jnp.ndarray:
+    """Per-crop per-channel standardization (quirk Q10); invalid -> 0.
+    Statistics in f32; out_dtype (e.g. bf16) saves bandwidth when the
+    crops are only materialized to feed a bf16 net."""
     mean = jnp.mean(crops, axis=(1, 2), keepdims=True)
     var = jnp.mean((crops - mean) ** 2, axis=(1, 2), keepdims=True)
     crops = (crops - mean) / jnp.maximum(jnp.sqrt(var), 1e-6)
-    return jnp.where(boxes.valid[:, None, None, None], crops, 0.0)
+    out = jnp.where(valid[:, None, None, None], crops, 0.0)
+    return out.astype(out_dtype) if out_dtype is not None else out

@@ -71,6 +71,25 @@ def detect(params: Dict[str, Any], image: jnp.ndarray,
     return extract_boxes(boxes_norm[0], confs[0], cfg)
 
 
+def detect_batch(params: Dict[str, Any], images: jnp.ndarray,
+                 cfg: GridVisionConfig) -> Boxes:
+    """detect over a rig batch (R, H, W, 3) -> Boxes with leading rig
+    axis. One true batch-R detector invocation instead of vmapping a
+    batch-1 call (vmap threads a dummy unit dim through every conv,
+    which skews XLA's layout choices for the maxpool/conv fusions)."""
+    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
+    net_in = jax.vmap(
+        lambda im: preprocess.preprocess_detector_image(
+            im, cfg.resize, compute_dtype=dtype))(images)
+    ycfg = yolov4_tiny.YoloConfig(input_size=cfg.resize,
+                                  compute_dtype=dtype)
+    boxes_norm, confs = yolov4_tiny.forward(params["detector"], net_in,
+                                            ycfg)
+    return jax.vmap(lambda b, c: extract_boxes(b, c, cfg))(boxes_norm,
+                                                           confs)
+
+
 def _compact_dynamic(boxes: Boxes, capacity: int):
     """First `capacity` dynamic boxes in confidence order (the reference's
     dynamic_bboxes vector, clamped per Q7). Returns (Boxes, take_idx)."""
@@ -135,9 +154,14 @@ def step(params: Dict[str, Any], state: GridState, obs: Obs,
 
 
 def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
-         extrinsics: Extrinsics, cfg: GridVisionConfig):
+         extrinsics: Extrinsics, cfg: GridVisionConfig,
+         poses_cam: LShapePoses | None = None):
     """Everything after 2D detection: association, pose estimation, grid
-    update, outputs. Split out so tests/replay can inject known boxes."""
+    update, outputs. Split out so tests/replay can inject known boxes.
+
+    poses_cam: optionally inject pre-computed camera-frame dynamic poses
+    (the fleet-compacted orientation path, fleet_step) — the vision/PCA
+    branch is skipped entirely when provided."""
     rng, rng_next = jax.random.split(state.rng)
 
     boxes = Boxes(xyxy=boxes.xyxy, confidence=boxes.confidence,
@@ -159,6 +183,9 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
     if cfg.knn_backend == "pallas":
         from .ops.pallas_knn import knn_median_depth_pallas
         depths = knn_median_depth_pallas(uvd, uvd_valid, boxes, cfg.k_near)
+    elif cfg.knn_backend == "approx":
+        depths = association.knn_median_depth_approx(uvd, uvd_valid, boxes,
+                                                     cfg.k_near)
     else:
         depths = association.knn_median_depth(uvd, uvd_valid, boxes,
                                               cfg.k_near)
@@ -167,11 +194,13 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
     static_points = jnp.where(static_mask[:, None], base_points, 0.0)
 
     # --- dynamic branch: 3D poses (camera frame) ------------------------
-    if cfg.use_vision_orientation:
-        poses_cam = _vision_orientation_poses(params, obs.image, boxes, K,
-                                              cfg)
-    else:
-        poses_cam = _pca_poses(cloud_cam, cloud_valid, boxes, K, rng, cfg)
+    if poses_cam is None:
+        if cfg.use_vision_orientation:
+            poses_cam = _vision_orientation_poses(params, obs.image, boxes,
+                                                  K, cfg)
+        else:
+            poses_cam = _pca_poses(cloud_cam, cloud_valid, boxes, K, rng,
+                                   cfg)
 
     # camera -> base (transformLShapeObjects, :525-531)
     base_pos, base_quat = transform_pose(
@@ -222,6 +251,105 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
     return new_state, out
 
 
+def _fleet_vision_poses(params, images: jnp.ndarray, boxes_b: Boxes,
+                        K: jnp.ndarray, cfg: GridVisionConfig,
+                        budget: int):
+    """Fleet-compacted VisionOrientation: gather the top-`budget` dynamic
+    boxes ACROSS all rigs (by confidence) into one global crop batch, run
+    the net once, scatter camera-frame poses back per rig.
+
+    The reference node runs its TRT engine only on the dynamic boxes a
+    frame actually produced (src/grid_vision_node.cpp:187-194) — load-
+    proportional compute. A per-rig fixed-shape batch pays the worst case
+    (max_orientation_batch crops) on EVERY rig every step; compacting
+    across the fleet restores load-proportionality while staying
+    static-shaped. Semantics: each rig first clamps to
+    max_orientation_batch in confidence order (quirk Q7), then the
+    fleet-wide budget keeps the `budget` highest-confidence candidates;
+    with budget >= n_rigs * max_orientation_batch the result is
+    exactly vmap(step) (tested in tests/test_fleet_compaction.py).
+
+    Returns (poses_b (R, cap) camera-frame LShapePoses,
+             dropped_b (R,) int32 valid candidates lost to the budget).
+    """
+    n_rigs = images.shape[0]
+    cap = cfg.max_orientation_batch
+    budget = min(budget, n_rigs * cap)
+
+    dyn_b, _ = jax.vmap(lambda b: _compact_dynamic(b, cap))(boxes_b)
+    flat = jax.tree_util.tree_map(
+        lambda x: x.reshape((n_rigs * cap,) + x.shape[2:]), dyn_b)
+    score = jnp.where(flat.valid, flat.confidence, -1.0)
+    _, top_idx = jax.lax.top_k(score, budget)          # unique positions
+
+    g_boxes = Boxes(xyxy=flat.xyxy[top_idx],
+                    confidence=flat.confidence[top_idx],
+                    label=flat.label[top_idx],
+                    valid=flat.valid[top_idx])
+    # Crop per rig against its OWN image (shared-image interpolation
+    # matmuls), then compact the small crops for the net. Gathering full
+    # source images per selected crop was measured ~2.5x more expensive
+    # than the padded per-rig sampling: duplicating (budget) 480x640
+    # images moves ~1.2 GB/step through HBM (XLA lowers it to serialized
+    # dynamic-slice loops), while crops are ~300 KB each.
+    gdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+              else jnp.float32)
+    crops_b = jax.vmap(
+        lambda im, b: preprocess.crop_resize_standardize(
+            im, b, cfg.network_height, compute_dtype=gdtype,
+            out_dtype=gdtype))(images, dyn_b)          # (R, cap, S, S, 3)
+    crops = crops_b.reshape((n_rigs * cap,) + crops_b.shape[2:])[top_idx]
+    ocfg = orientation_net.OrientationConfig(
+        input_size=cfg.network_height, width=cfg.orientation_width,
+        arch=cfg.orientation_arch, compute_dtype=gdtype)
+    orient, conf, dims = orientation_net.forward(
+        params["orientation"], crops, ocfg)
+    poses_g = multibin.multibin_poses(orient, conf, dims, g_boxes, K, cfg)
+
+    def scatter(x, fill):
+        out = jnp.full((n_rigs * cap,) + x.shape[1:], fill, x.dtype)
+        out = out.at[top_idx].set(x)
+        return out.reshape((n_rigs, cap) + x.shape[1:])
+
+    poses_b = LShapePoses(
+        position=scatter(poses_g.position, 0.0),
+        quat=scatter(poses_g.quat, 0.0),
+        length=scatter(poses_g.length, 0.0),
+        width=scatter(poses_g.width, 0.0),
+        height=scatter(poses_g.height, 0.0),
+        label=scatter(poses_g.label, 0),
+        valid=scatter(poses_g.valid, False),
+    )
+    n_valid = jnp.sum(flat.valid.reshape(n_rigs, cap), axis=-1)
+    n_kept = jnp.sum(scatter(g_boxes.valid, False), axis=-1)
+    dropped_b = (n_valid - n_kept).astype(jnp.int32)
+    return poses_b, dropped_b
+
+
+def fleet_step(params: Dict[str, Any], states: GridState, obs_b: Obs,
+               extrinsics: Extrinsics, cfg: GridVisionConfig,
+               orientation_budget: int | None = None):
+    """vmap(step) over a rig axis, with optional fleet-level orientation
+    batching (see _fleet_vision_poses). orientation_budget=None or PCA
+    mode falls back to plain vmap."""
+    if not cfg.use_vision_orientation or orientation_budget is None:
+        return jax.vmap(
+            functools.partial(step, cfg=cfg),
+            in_axes=(None, 0, 0, None))(params, states, obs_b, extrinsics)
+
+    boxes_b = detect_batch(params, obs_b.image, cfg)
+    boxes_b = Boxes(xyxy=boxes_b.xyxy, confidence=boxes_b.confidence,
+                    label=boxes_b.label,
+                    valid=boxes_b.valid & obs_b.has_image[:, None])
+    K = intrinsic_matrix(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+    poses_b, _dropped_b = _fleet_vision_poses(
+        params, obs_b.image, boxes_b, K, cfg, orientation_budget)
+    return jax.vmap(
+        lambda p, s, o, b, e, pc: fuse(p, s, o, b, e, cfg, pc),
+        in_axes=(None, 0, 0, 0, None, 0))(
+        params, states, obs_b, boxes_b, extrinsics, poses_b)
+
+
 class Engine:
     """Convenience stateful wrapper: owns params/extrinsics/jit cache.
 
@@ -244,7 +372,11 @@ class Engine:
         if params is None:
             from .models import weights
             params = weights.load_all(cfg, seed=seed)
-        self.params = params
+        # Pin to device: checkpoint.restore returns host numpy arrays, and
+        # passing those into a jitted step re-uploads every weight on
+        # EVERY dispatch (measured 3.5x whole-pipeline slowdown through
+        # this machine's high-latency tunnel).
+        self.params = jax.device_put(params)
         self._step = jax.jit(functools.partial(step, cfg=self.cfg),
                              donate_argnums=(1,))
 

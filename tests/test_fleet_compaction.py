@@ -1,0 +1,140 @@
+"""Fleet-level orientation compaction (pipeline.fleet_step).
+
+The fleet path batches the top-`budget` dynamic detections across all
+rigs into one orientation-net invocation instead of a padded per-rig
+batch. Contract under test:
+
+  1. budget >= n_rigs * max_orientation_batch  ==>  bit-identical to
+     vmap(pipeline.step) (poses, validity, grids);
+  2. smaller budgets keep exactly the `budget` highest-confidence
+     candidates fleet-wide and report the dropped count per rig.
+
+Uses the shipped trained weights + rendered traffic scenes so dynamic
+detections actually fire (random-init weights collapse to one static
+class and would make the test vacuous).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bench
+from grid_vision_tpu import pipeline
+from grid_vision_tpu.config import GridVisionConfig
+from grid_vision_tpu.geometry import intrinsic_matrix
+from grid_vision_tpu.types import Boxes, GridState
+
+N_RIGS = 3
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = GridVisionConfig(max_points=2048,
+                           detection_weights_file="weights/detector.npz",
+                           vision_weights_file="weights/orientation.npz")
+    eng = pipeline.Engine(cfg, seed=0)
+    obs = bench.build_obs_pool(cfg, N_RIGS)
+    ref_states, ref_out = jax.jit(jax.vmap(
+        functools.partial(pipeline.step, cfg=cfg),
+        in_axes=(None, 0, 0, None)))(
+        eng.params, GridState.create_batch(cfg, N_RIGS), obs,
+        eng.extrinsics)
+    return cfg, eng, obs, ref_states, ref_out
+
+
+def _fleet(cfg, eng, obs, budget):
+    return jax.jit(functools.partial(pipeline.fleet_step, cfg=cfg,
+                                     orientation_budget=budget))(
+        eng.params, GridState.create_batch(cfg, N_RIGS), obs,
+        eng.extrinsics)
+
+
+def test_scene_pool_produces_dynamic_load(setup):
+    _, _, _, _, ref_out = setup
+    n_poses = int(jnp.sum(ref_out.poses.valid))
+    assert n_poses >= 3, "scene pool must exercise the orientation branch"
+
+
+def test_full_budget_matches_vmap_step_exactly(setup):
+    cfg, eng, obs, ref_states, ref_out = setup
+    states, out = _fleet(cfg, eng, obs,
+                         N_RIGS * cfg.max_orientation_batch)
+    np.testing.assert_array_equal(np.asarray(out.poses.valid),
+                                  np.asarray(ref_out.poses.valid))
+    pv = np.asarray(ref_out.poses.valid)
+    for field in ("position", "quat", "length", "width", "height"):
+        a = np.asarray(getattr(out.poses, field))
+        b = np.asarray(getattr(ref_out.poses, field))
+        np.testing.assert_array_equal(a[pv], b[pv], err_msg=field)
+    np.testing.assert_array_equal(np.asarray(states.log_odds),
+                                  np.asarray(ref_states.log_odds))
+    np.testing.assert_array_equal(np.asarray(out.boxes.valid),
+                                  np.asarray(ref_out.boxes.valid))
+
+
+def test_small_budget_keeps_top_confidence(setup):
+    cfg, eng, obs, _, ref_out = setup
+    budget = 2
+    _, out = _fleet(cfg, eng, obs, budget)
+    assert int(jnp.sum(out.poses.valid)) == budget
+    # The survivors must be the two highest-confidence dynamic candidates
+    # fleet-wide: every surviving pose's box confidence >= every dropped
+    # valid pose's confidence in the full-budget reference output.
+    def pose_confs(out_):
+        # poses live in per-rig compacted order; recover confidences via
+        # the same compaction the pipeline applies.
+        confs = []
+        for r in range(N_RIGS):
+            b = Boxes(xyxy=ref_out.boxes.xyxy[r],
+                      confidence=ref_out.boxes.confidence[r],
+                      label=ref_out.boxes.label[r],
+                      valid=ref_out.boxes.valid[r])
+            dyn, _ = pipeline._compact_dynamic(b, cfg.max_orientation_batch)
+            confs.append(np.asarray(dyn.confidence))
+        return np.stack(confs)
+
+    conf_b = pose_confs(out)
+    kept = conf_b[np.asarray(out.poses.valid)]
+    dropped = conf_b[np.asarray(ref_out.poses.valid)
+                     & ~np.asarray(out.poses.valid)]
+    assert kept.min() >= dropped.max()
+
+
+def test_dropped_counts(setup):
+    cfg, eng, obs, _, ref_out = setup
+    boxes_b = jax.jit(lambda im: pipeline.detect_batch(eng.params, im,
+                                                       cfg))(obs.image)
+    K = intrinsic_matrix(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+    total_valid = int(jnp.sum(ref_out.poses.valid))
+
+    _, dropped = jax.jit(functools.partial(
+        pipeline._fleet_vision_poses, cfg=cfg, budget=2))(
+        eng.params, obs.image, boxes_b, K)
+    assert int(jnp.sum(dropped)) == total_valid - 2
+
+    _, dropped_full = jax.jit(functools.partial(
+        pipeline._fleet_vision_poses, cfg=cfg,
+        budget=N_RIGS * cfg.max_orientation_batch))(
+        eng.params, obs.image, boxes_b, K)
+    assert int(jnp.sum(dropped_full)) == 0
+
+
+def test_pca_mode_falls_back_to_vmap(setup):
+    cfg, eng, obs, _, _ = setup
+    pca_cfg = GridVisionConfig(
+        max_points=2048, use_vision_orientation=False,
+        detection_weights_file="weights/detector.npz",
+        vision_weights_file="weights/orientation.npz")
+    ref = jax.jit(jax.vmap(functools.partial(pipeline.step, cfg=pca_cfg),
+                           in_axes=(None, 0, 0, None)))(
+        eng.params, GridState.create_batch(pca_cfg, N_RIGS), obs,
+        eng.extrinsics)
+    got = jax.jit(functools.partial(pipeline.fleet_step, cfg=pca_cfg,
+                                    orientation_budget=8))(
+        eng.params, GridState.create_batch(pca_cfg, N_RIGS), obs,
+        eng.extrinsics)
+    np.testing.assert_array_equal(np.asarray(got[0].log_odds),
+                                  np.asarray(ref[0].log_odds))

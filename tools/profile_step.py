@@ -35,30 +35,36 @@ def main():
     from grid_vision_tpu import pipeline
     from grid_vision_tpu.config import GridVisionConfig
     from grid_vision_tpu.types import GridState
-    from bench import readback, synth_obs
+    from bench import build_obs_pool, perturb_obs, readback
 
-    cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16")
+    # Mirror bench.py's flagship configuration exactly.
+    cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16",
+                           knn_backend="approx",
+                           detection_weights_file="weights/detector.npz",
+                           vision_weights_file="weights/orientation.npz")
     eng = pipeline.Engine(cfg, seed=0)
-    vstep = jax.vmap(functools.partial(pipeline.step, cfg=cfg),
-                     in_axes=(None, 0, 0, None))
+    pool = build_obs_pool(cfg, args.rigs)
+    budget = 5 * args.rigs
 
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def chunk(params, states, extr, key):
+    def chunk(params, states, pool, extr, key):
         def body(s, kk):
-            obs = jax.vmap(functools.partial(synth_obs, cfg=cfg))(
-                jax.random.split(kk, args.rigs))
-            s2, _ = vstep(params, s, obs, extr)
+            obs = perturb_obs(pool, kk, args.rigs)
+            s2, _ = pipeline.fleet_step(params, s, obs, extr, cfg,
+                                        orientation_budget=budget)
             return s2, ()
         states, _ = jax.lax.scan(body, states,
                                  jax.random.split(key, args.scan))
         return states
 
     states = GridState.create_batch(cfg, args.rigs)
-    states = chunk(eng.params, states, eng.extrinsics, jax.random.PRNGKey(0))
+    states = chunk(eng.params, states, pool, eng.extrinsics,
+                   jax.random.PRNGKey(0))
     _ = readback(states.log_odds)   # compile + settle outside the trace
 
     jax.profiler.start_trace(args.out)
-    states = chunk(eng.params, states, eng.extrinsics, jax.random.PRNGKey(1))
+    states = chunk(eng.params, states, pool, eng.extrinsics,
+                   jax.random.PRNGKey(1))
     _ = readback(states.log_odds)
     jax.profiler.stop_trace()
 
