@@ -55,6 +55,16 @@ def load_all(cfg: GridVisionConfig, base_dir: str = ".",
         if not rel:
             continue
         path = os.path.join(base_dir, rel.lstrip("/"))
+        if key == "detector" and path.endswith(".onnx"):
+            # Reference-format weights (config/grid_vision_cfg.yaml:5
+            # points at weights/yolov4_*.onnx; object_detection.cpp:41-58
+            # loads it into ONNX Runtime — here the conv/BN tensors map
+            # onto the Flax tree).
+            if os.path.exists(path):
+                from . import onnx_import
+                params[key] = onnx_import.import_yolov4_tiny(path,
+                                                             params[key])
+            continue
         if not path.endswith(".npz"):
             path += ".npz"
         if os.path.exists(path):

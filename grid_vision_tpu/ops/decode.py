@@ -44,12 +44,15 @@ def denormalize_boxes(xyxy: jnp.ndarray, orig_w: int, orig_h: int,
 
 
 def extract_boxes(boxes_norm: jnp.ndarray, confs: jnp.ndarray,
-                  cfg: GridVisionConfig) -> Boxes:
+                  cfg: GridVisionConfig, with_overflow: bool = False):
     """boxes_norm: (A, 4) normalized xyxy; confs: (A, C) class scores.
 
     Returns Boxes with capacity cfg.max_detections, ordered by confidence
     descending (the reference's post-NMS order), coordinates in original
-    image pixels.
+    image pixels. With with_overflow=True additionally returns the int32
+    count of above-threshold anchors dropped by the max_candidates
+    compaction (capacity-saturation telemetry — the reference keeps ALL
+    survivors, object_detection.cpp:118-139).
     """
     num_anchors = boxes_norm.shape[0]
     max_conf = jnp.max(confs, axis=-1)
@@ -76,9 +79,14 @@ def extract_boxes(boxes_norm: jnp.ndarray, confs: jnp.ndarray,
 
     xyxy = denormalize_boxes(cand_xyxy[sel], cfg.camera_image_width,
                              cfg.camera_image_height, cfg.resize)
-    return Boxes(
+    out = Boxes(
         xyxy=jnp.where(out_valid[:, None], xyxy, 0.0),
         confidence=jnp.where(out_valid, cand_conf[sel], 0.0),
         label=jnp.where(out_valid, cand_label[sel], 10).astype(jnp.int32),
         valid=out_valid,
     )
+    if with_overflow:
+        n_passed = jnp.sum(passed.astype(jnp.int32))
+        overflow = jnp.maximum(0, n_passed - k)
+        return out, overflow
+    return out

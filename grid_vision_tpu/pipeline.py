@@ -52,7 +52,7 @@ from .ops import association, lshape, multibin, plane, preprocess, rasterize
 from .ops.decode import extract_boxes
 from .taxonomy import is_dynamic
 from .types import (Boxes, Extrinsics, GridState, LShapePoses, Obs,
-                    PointCloud, StepOutput)
+                    PointCloud, SaturationStats, StepOutput)
 
 
 def detect(params: Dict[str, Any], image: jnp.ndarray,
@@ -71,12 +71,29 @@ def detect(params: Dict[str, Any], image: jnp.ndarray,
     return extract_boxes(boxes_norm[0], confs[0], cfg)
 
 
+def detect_with_stats(params: Dict[str, Any], image: jnp.ndarray,
+                      cfg: GridVisionConfig):
+    """detect + pre-NMS overflow counter (SaturationStats input)."""
+    net_in = preprocess.preprocess_detector_image(
+        image, cfg.resize,
+        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+        else jnp.float32)
+    ycfg = yolov4_tiny.YoloConfig(
+        input_size=cfg.resize,
+        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+        else jnp.float32)
+    boxes_norm, confs = yolov4_tiny.forward(
+        params["detector"], net_in[None], ycfg)
+    return extract_boxes(boxes_norm[0], confs[0], cfg, with_overflow=True)
+
+
 def detect_batch(params: Dict[str, Any], images: jnp.ndarray,
-                 cfg: GridVisionConfig) -> Boxes:
-    """detect over a rig batch (R, H, W, 3) -> Boxes with leading rig
-    axis. One true batch-R detector invocation instead of vmapping a
-    batch-1 call (vmap threads a dummy unit dim through every conv,
-    which skews XLA's layout choices for the maxpool/conv fusions)."""
+                 cfg: GridVisionConfig):
+    """detect over a rig batch (R, H, W, 3) -> (Boxes, overflow) with
+    leading rig axis. One true batch-R detector invocation instead of
+    vmapping a batch-1 call (vmap threads a dummy unit dim through every
+    conv, which skews XLA's layout choices for the maxpool/conv
+    fusions)."""
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
              else jnp.float32)
     net_in = jax.vmap(
@@ -86,8 +103,9 @@ def detect_batch(params: Dict[str, Any], images: jnp.ndarray,
                                   compute_dtype=dtype)
     boxes_norm, confs = yolov4_tiny.forward(params["detector"], net_in,
                                             ycfg)
-    return jax.vmap(lambda b, c: extract_boxes(b, c, cfg))(boxes_norm,
-                                                           confs)
+    return jax.vmap(
+        lambda b, c: extract_boxes(b, c, cfg, with_overflow=True))(
+        boxes_norm, confs)
 
 
 def _compact_dynamic(boxes: Boxes, capacity: int):
@@ -134,34 +152,40 @@ def _pca_poses(cloud_cam: jnp.ndarray, cloud_valid: jnp.ndarray,
     assignment, _, _ = association.assign_points_to_boxes(
         cloud_cam, non_ground, K, boxes,
         cfg.camera_image_width, cfg.camera_image_height)
-    pts, pvalid, _trunc = association.gather_box_clouds(
+    pts, pvalid, trunc = association.gather_box_clouds(
         cloud_cam, assignment, boxes.capacity, cfg.max_points_per_box)
     poses = lshape.pca_lshape_poses(
         pts, pvalid, boxes.label, cfg.outlier_radius,
         cfg.outlier_min_neighbors)
     any_dynamic = jnp.any(boxes.valid & is_dynamic(boxes.label))
+    n_truncated = jnp.sum((trunc & boxes.valid).astype(jnp.int32))
     return poses.__class__(
         position=poses.position, quat=poses.quat, length=poses.length,
         width=poses.width, height=poses.height, label=poses.label,
-        valid=poses.valid & ok & any_dynamic)
+        valid=poses.valid & ok & any_dynamic), n_truncated
 
 
 def step(params: Dict[str, Any], state: GridState, obs: Obs,
          extrinsics: Extrinsics, cfg: GridVisionConfig):
     """One fused tick. Everything on device; no host sync."""
-    boxes = detect(params, obs.image, cfg)
-    return fuse(params, state, obs, boxes, extrinsics, cfg)
+    boxes, prenms_overflow = detect_with_stats(params, obs.image, cfg)
+    return fuse(params, state, obs, boxes, extrinsics, cfg,
+                prenms_overflow=prenms_overflow)
 
 
 def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
          extrinsics: Extrinsics, cfg: GridVisionConfig,
-         poses_cam: LShapePoses | None = None):
+         poses_cam: LShapePoses | None = None,
+         prenms_overflow: jnp.ndarray | None = None,
+         orientation_dropped: jnp.ndarray | None = None):
     """Everything after 2D detection: association, pose estimation, grid
     update, outputs. Split out so tests/replay can inject known boxes.
 
     poses_cam: optionally inject pre-computed camera-frame dynamic poses
     (the fleet-compacted orientation path, fleet_step) — the vision/PCA
-    branch is skipped entirely when provided."""
+    branch is skipped entirely when provided.
+    prenms_overflow / orientation_dropped: upstream saturation counters
+    threaded into StepOutput.saturation."""
     rng, rng_next = jax.random.split(state.rng)
 
     boxes = Boxes(xyxy=boxes.xyxy, confidence=boxes.confidence,
@@ -194,13 +218,30 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
     static_points = jnp.where(static_mask[:, None], base_points, 0.0)
 
     # --- dynamic branch: 3D poses (camera frame) ------------------------
+    zero = jnp.zeros((), jnp.int32)
+    box_cloud_truncated = zero
     if poses_cam is None:
         if cfg.use_vision_orientation:
             poses_cam = _vision_orientation_poses(params, obs.image, boxes,
                                                   K, cfg)
         else:
-            poses_cam = _pca_poses(cloud_cam, cloud_valid, boxes, K, rng,
-                                   cfg)
+            poses_cam, box_cloud_truncated = _pca_poses(
+                cloud_cam, cloud_valid, boxes, K, rng, cfg)
+    if cfg.use_vision_orientation:
+        n_dyn = jnp.sum((boxes.valid & is_dynamic(boxes.label))
+                        .astype(jnp.int32))
+        orientation_clamped = jnp.maximum(
+            0, n_dyn - cfg.max_orientation_batch)
+    else:
+        orientation_clamped = zero
+    saturation = SaturationStats(
+        prenms_overflow=(zero if prenms_overflow is None
+                         else prenms_overflow.astype(jnp.int32)),
+        orientation_clamped=orientation_clamped,
+        box_cloud_truncated=box_cloud_truncated,
+        orientation_dropped=(zero if orientation_dropped is None
+                             else orientation_dropped.astype(jnp.int32)),
+    )
 
     # camera -> base (transformLShapeObjects, :525-531)
     base_pos, base_quat = transform_pose(
@@ -247,6 +288,7 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
         static_points=static_points,
         static_boxes=static_boxes,
         occupancy_i8=rasterize.export_occupancy_i8(new_occ),
+        saturation=saturation,
     )
     return new_state, out
 
@@ -337,17 +379,20 @@ def fleet_step(params: Dict[str, Any], states: GridState, obs_b: Obs,
             functools.partial(step, cfg=cfg),
             in_axes=(None, 0, 0, None))(params, states, obs_b, extrinsics)
 
-    boxes_b = detect_batch(params, obs_b.image, cfg)
+    boxes_b, overflow_b = detect_batch(params, obs_b.image, cfg)
     boxes_b = Boxes(xyxy=boxes_b.xyxy, confidence=boxes_b.confidence,
                     label=boxes_b.label,
                     valid=boxes_b.valid & obs_b.has_image[:, None])
     K = intrinsic_matrix(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
-    poses_b, _dropped_b = _fleet_vision_poses(
+    poses_b, dropped_b = _fleet_vision_poses(
         params, obs_b.image, boxes_b, K, cfg, orientation_budget)
     return jax.vmap(
-        lambda p, s, o, b, e, pc: fuse(p, s, o, b, e, cfg, pc),
-        in_axes=(None, 0, 0, 0, None, 0))(
-        params, states, obs_b, boxes_b, extrinsics, poses_b)
+        lambda p, s, o, b, e, pc, ov, dr: fuse(
+            p, s, o, b, e, cfg, pc, prenms_overflow=ov,
+            orientation_dropped=dr),
+        in_axes=(None, 0, 0, 0, None, 0, 0, 0))(
+        params, states, obs_b, boxes_b, extrinsics, poses_b, overflow_b,
+        dropped_b)
 
 
 class Engine:

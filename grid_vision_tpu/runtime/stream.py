@@ -28,12 +28,21 @@ from ..utils.stats import StepStats
 
 def obs_from_scene(scene: SyntheticScene, t: float,
                    cfg: GridVisionConfig) -> Obs:
+    obs, _ = obs_from_scene_with_stats(scene, t, cfg)
+    return obs
+
+
+def obs_from_scene_with_stats(scene: SyntheticScene, t: float,
+                              cfg: GridVisionConfig):
+    """obs_from_scene + host-side ingest telemetry: the number of finite
+    cloud points dropped by the capacity subsample (SaturationStats'
+    host-side sibling; see types.PointCloud.pack_numpy)."""
     import jax.numpy as jnp
     xyz = scene.cloud_at(t)
-    cloud = PointCloud.from_numpy(xyz, None, cfg.max_points)
+    cloud, dropped = PointCloud.pack_numpy(xyz, None, cfg.max_points)
     img = jnp.asarray(scene.image_at(t))
     return Obs(image=img, cloud=cloud, has_image=jnp.asarray(True),
-               has_cloud=jnp.asarray(True))
+               has_cloud=jnp.asarray(True)), dropped
 
 
 @dataclasses.dataclass
@@ -71,22 +80,24 @@ def replay(engine: Engine, scene: SyntheticScene, n_steps: int,
     stats: List[StepStats] = []
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
         futures = {
-            i: pool.submit(obs_from_scene, scene, i * period, cfg)
+            i: pool.submit(obs_from_scene_with_stats, scene, i * period,
+                           cfg)
             for i in range(min(prefetch, n_steps))
         }
         t_start = time.perf_counter()
         for i in range(n_steps):
-            obs = futures.pop(i).result()
+            obs, cloud_dropped = futures.pop(i).result()
             j = i + prefetch
             if j < n_steps:
-                futures[j] = pool.submit(obs_from_scene, scene,
+                futures[j] = pool.submit(obs_from_scene_with_stats, scene,
                                          j * period, cfg)
             t0 = time.perf_counter()
             state, out = engine(state, obs)   # async dispatch
             t_dispatch = time.perf_counter() - t0
             if on_step is not None:
                 on_step(i, state, out)
-            stats.append(StepStats(step=i, dispatch_s=t_dispatch))
+            stats.append(StepStats(step=i, dispatch_s=t_dispatch,
+                                   cloud_points_dropped=cloud_dropped))
             if realtime:
                 sleep = (i + 1) * period - (time.perf_counter() - t_start)
                 if sleep > 0:

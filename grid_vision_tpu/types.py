@@ -104,12 +104,21 @@ class PointCloud:
         pads with the sentinel. Overflow is stride-subsampled (evenly
         spaced indices) rather than head-truncated, so scans larger than
         capacity keep full spatial coverage."""
+        return PointCloud.pack_numpy(xyz, intensity, capacity)[0]
+
+    @staticmethod
+    def pack_numpy(xyz: np.ndarray, intensity: np.ndarray | None,
+                   capacity: int) -> tuple["PointCloud", int]:
+        """from_numpy that also reports how many finite points were
+        dropped by subsampling (capacity-saturation telemetry; the
+        reference's dynamically-sized cloud never truncates)."""
         xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
         if intensity is None:
             intensity = np.zeros((xyz.shape[0],), np.float32)
         intensity = np.asarray(intensity, np.float32).reshape(-1)
         finite = np.isfinite(xyz).all(axis=1)
         xyz, intensity = xyz[finite], intensity[finite]
+        dropped = max(0, xyz.shape[0] - capacity)
         if xyz.shape[0] > capacity:
             idx = np.linspace(0, xyz.shape[0] - 1, capacity).astype(np.int64)
             xyz, intensity = xyz[idx], intensity[idx]
@@ -122,7 +131,7 @@ class PointCloud:
             xyz=jnp.asarray(out_xyz),
             intensity=jnp.asarray(out_int),
             count=jnp.asarray(n, jnp.int32),
-        )
+        ), dropped
 
     @property
     def capacity(self) -> int:
@@ -274,6 +283,44 @@ class Extrinsics:
 
 
 @pytree_dataclass
+class SaturationStats:
+    """Capacity-saturation telemetry, int32 scalars per step.
+
+    The reference's dynamically-sized std::vectors never truncate; this
+    engine's fixed XLA capacities can bind, and when they do the step
+    quietly diverges from reference semantics at exactly the busiest
+    moments — these counters make that observable on device.
+
+    prenms_overflow: anchors above confidence_threshold dropped by the
+      max_candidates pre-NMS compaction (ops/decode.py).
+    orientation_clamped: valid dynamic boxes beyond
+      max_orientation_batch (quirk Q7 — the reference OVERFLOWS its TRT
+      buffers here, src/vision_orientation.cpp:200-207; we clamp and
+      count). Vision mode only; 0 in PCA mode.
+    box_cloud_truncated: PCA-path boxes whose per-box sub-cloud exceeded
+      max_points_per_box (the reference keeps all points). 0 in vision
+      mode.
+    orientation_dropped: candidates lost to the fleet orientation budget
+      (pipeline.fleet_step). Always 0 in the single-rig step.
+
+    Host-side cloud-subsampling drops (PointCloud.pack_numpy) are
+    reported by the ingest layer (runtime/stream.StepStats), not here —
+    they happen before data reaches the device.
+    """
+
+    prenms_overflow: jnp.ndarray
+    orientation_clamped: jnp.ndarray
+    box_cloud_truncated: jnp.ndarray
+    orientation_dropped: jnp.ndarray
+
+    @staticmethod
+    def zeros() -> "SaturationStats":
+        z = jnp.zeros((), jnp.int32)
+        return SaturationStats(prenms_overflow=z, orientation_clamped=z,
+                               box_cloud_truncated=z, orientation_dropped=z)
+
+
+@pytree_dataclass
 class StepOutput:
     """Everything the reference publishes per tick, as arrays.
 
@@ -282,7 +329,8 @@ class StepOutput:
     static_points: base-frame 3D positions of static detections (:183);
     static_boxes: the static split (marker labels); occupancy_i8: the
     nav_msgs/OccupancyGrid export, int8 0..100 (:240 via
-    GridMapRosConverter::toOccupancyGrid(grid, "occupancy", 0.0, 1.0)).
+    GridMapRosConverter::toOccupancyGrid(grid, "occupancy", 0.0, 1.0));
+    saturation: capacity-saturation telemetry (SaturationStats).
     """
 
     boxes: Boxes
@@ -290,6 +338,7 @@ class StepOutput:
     static_points: jnp.ndarray
     static_boxes: Boxes
     occupancy_i8: jnp.ndarray
+    saturation: SaturationStats
 
 
 def tree_stack(items):

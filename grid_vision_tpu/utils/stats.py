@@ -20,6 +20,10 @@ class StepStats:
     boxes_kept: Optional[int] = None
     poses_valid: Optional[int] = None
     cells_occupied: Optional[int] = None
+    # Host-side ingest saturation: finite cloud points dropped by the
+    # capacity subsample (device-side counters live in
+    # types.SaturationStats, carried by StepOutput).
+    cloud_points_dropped: int = 0
 
     def log(self) -> None:
         logger.info(

@@ -105,8 +105,8 @@ def test_small_budget_keeps_top_confidence(setup):
 
 def test_dropped_counts(setup):
     cfg, eng, obs, _, ref_out = setup
-    boxes_b = jax.jit(lambda im: pipeline.detect_batch(eng.params, im,
-                                                       cfg))(obs.image)
+    boxes_b, _ = jax.jit(lambda im: pipeline.detect_batch(
+        eng.params, im, cfg))(obs.image)
     K = intrinsic_matrix(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
     total_valid = int(jnp.sum(ref_out.poses.valid))
 

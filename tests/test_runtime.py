@@ -14,7 +14,7 @@ from grid_vision_tpu.io.viz import (draw_boxes, grid_to_rgb,
 from grid_vision_tpu.pipeline import Engine
 from grid_vision_tpu.runtime.stream import obs_from_scene, replay
 from grid_vision_tpu.utils import checkpoint
-from grid_vision_tpu.types import GridState
+from grid_vision_tpu.types import SaturationStats, GridState
 
 CFG = GridVisionConfig(use_vision_orientation=False, max_points=4096,
                        compute_dtype="float32")
@@ -91,7 +91,8 @@ def test_viz_outputs(tmp_path):
     static_pts = jnp.zeros((4, 3))
     out = StepOutput(boxes=boxes, poses=poses, static_points=static_pts,
                      static_boxes=boxes,
-                     occupancy_i8=jnp.zeros((10, 10), jnp.int8))
+                     occupancy_i8=jnp.zeros((10, 10), jnp.int8),
+                     saturation=SaturationStats.zeros())
     markers = markers_from_output(out)
     kinds = {m["ns"] for m in markers}
     assert "traffic_light" in kinds   # label 5 = red light

@@ -41,7 +41,7 @@ def main():
 
     @jax.jit
     def count(params, images):
-        boxes = jax.vmap(lambda im: pipeline.detect(params, im, cfg))(images)
+        boxes, _ = pipeline.detect_batch(params, images, cfg)
         dyn = boxes.valid & is_dynamic(boxes.label)
         return jnp.minimum(jnp.sum(dyn, axis=-1), cfg.max_orientation_batch)
 
