@@ -4,16 +4,25 @@ The reference's entry point is a ROS 2 launch file that wires the node
 to a parameter YAML (launch/grid_vision.launch.xml). The equivalents:
 
   run     stream a synthetic sequence through the engine with a config
-          YAML (the reference YAML works as-is)
+          YAML (the reference YAML works as-is); --publish NAME exposes
+          the session to viewers
+  view    attach to a running session and watch the grid + markers live
+          (terminal ANSI render, or --http PORT for a browser stream) —
+          the RViz replacement
   demo    snapshot-producing demo (see demo.py for flags)
   train   fit the detector / orientation net on-device
+  eval    detection quality: COCO-style mAP@0.5 on held-out scenes
   bench   the headline benchmark (one JSON line)
 
 Examples:
   python -m grid_vision_tpu run --config config/grid_vision_cfg.yaml
+  python -m grid_vision_tpu run --publish demo --steps 2000 &
+  python -m grid_vision_tpu view --session demo
+  python -m grid_vision_tpu view --session demo --http 8400
   python -m grid_vision_tpu demo --mode vision --det net
   python -m grid_vision_tpu train detector --steps 1000
   python -m grid_vision_tpu train orientation
+  python -m grid_vision_tpu eval --source scene --images 64
 """
 
 from __future__ import annotations
@@ -31,6 +40,9 @@ def _run(argv):
     ap.add_argument("--hz", type=float, default=10.0)
     ap.add_argument("--realtime", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--publish", default=None, metavar="SESSION",
+                    help="publish grid/markers/overlay for "
+                         "`grid_vision_tpu view --session SESSION`")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
@@ -49,8 +61,22 @@ def _run(argv):
     eng = Engine(cfg, extrinsics=default_extrinsics())
     scene = SyntheticScene(cfg, seed=0)
     scene.add_default_traffic()
+    on_step = None
+    pub = None
+    if args.publish:
+        from .runtime.session import SessionPublisher
+        pub = SessionPublisher(args.publish, cfg)
+        period = 1.0 / args.hz
+
+        def on_step(i, state, out):
+            pub.publish(i, out, image=scene.image_at(i * period))
+        logger.info("publishing session %r (attach with: python -m "
+                    "grid_vision_tpu view --session %s)",
+                    args.publish, args.publish)
     res = replay(eng, scene, n_steps=args.steps, hz=args.hz,
-                 realtime=args.realtime)
+                 realtime=args.realtime, on_step=on_step)
+    if pub is not None:
+        pub.close()
     logger.info("replayed %d steps at %.1f Hz (wall %.2fs)",
                 res.n_steps, res.achieved_hz, res.wall_s)
 
@@ -62,6 +88,22 @@ def main():
     cmd, argv = sys.argv[1], sys.argv[2:]
     if cmd == "run":
         _run(argv)
+    elif cmd == "view":
+        import argparse
+        ap = argparse.ArgumentParser(prog="grid_vision_tpu view")
+        ap.add_argument("--session", required=True)
+        ap.add_argument("--http", type=int, default=None, metavar="PORT")
+        ap.add_argument("--seconds", type=float, default=None,
+                        help="stop after N seconds (default: run forever)")
+        a = ap.parse_args(argv)
+        from .runtime import viewer
+        if a.http is not None:
+            viewer.http_view(a.session, a.http, max_seconds=a.seconds)
+        else:
+            viewer.terminal_view(a.session, max_seconds=a.seconds)
+    elif cmd == "eval":
+        from .train.eval_map import main as eval_main
+        eval_main(argv)
     elif cmd == "demo":
         from .demo import main as demo_main
         demo_main(argv)

@@ -10,10 +10,13 @@ load keyed by the same config paths the reference used
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Dict
 
 import jax
+
+logger = logging.getLogger("grid_vision_tpu.weights")
 
 from ..config import GridVisionConfig
 from ..utils import checkpoint
@@ -45,16 +48,26 @@ def save_all(params: Dict[str, Any], cfg: GridVisionConfig,
         checkpoint.save(path, tree)
 
 
+def _resolve(base_dir: str, rel: str) -> str:
+    """A genuinely absolute existing path wins; otherwise treat leading
+    '/' as YAML style ("/weights/x.npz" means weights/x.npz under the
+    install dir, like the reference's share-path lookup)."""
+    if os.path.isabs(rel) and os.path.exists(rel):
+        return rel
+    return os.path.join(base_dir, rel.lstrip("/"))
+
+
 def load_all(cfg: GridVisionConfig, base_dir: str = ".",
              seed: int = 0) -> Dict[str, Any]:
-    """Load checkpoints from the configured paths; any missing file
-    falls back to deterministic random init (logged upstream)."""
+    """Load checkpoints from the configured paths; a missing file falls
+    back to deterministic random init with a WARNING (an engine silently
+    running on random weights looks exactly like a broken model)."""
     params = init_all(cfg, seed)
     for key, rel in (("detector", cfg.detection_weights_file),
                      ("orientation", cfg.vision_weights_file)):
         if not rel:
             continue
-        path = os.path.join(base_dir, rel.lstrip("/"))
+        path = _resolve(base_dir, rel)
         if key == "detector" and path.endswith(".onnx"):
             # Reference-format weights (config/grid_vision_cfg.yaml:5
             # points at weights/yolov4_*.onnx; object_detection.cpp:41-58
@@ -64,9 +77,15 @@ def load_all(cfg: GridVisionConfig, base_dir: str = ".",
                 from . import onnx_import
                 params[key] = onnx_import.import_yolov4_tiny(path,
                                                              params[key])
+            else:
+                logger.warning("configured %s weights %r not found; "
+                               "using random init", key, rel)
             continue
         if not path.endswith(".npz"):
             path += ".npz"
         if os.path.exists(path):
             params[key] = checkpoint.restore(path, params[key])
+        else:
+            logger.warning("configured %s weights %r not found; "
+                           "using random init", key, rel)
     return params

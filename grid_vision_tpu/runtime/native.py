@@ -78,6 +78,21 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gv_write_pgm.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int8), ctypes.c_int,
         ctypes.c_int]
+    lib.gv_shm_open.restype = ctypes.c_int
+    lib.gv_shm_open.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                ctypes.c_int]
+    lib.gv_shm_capacity.restype = ctypes.c_int64
+    lib.gv_shm_capacity.argtypes = [ctypes.c_int]
+    lib.gv_shm_write.restype = ctypes.c_int64
+    lib.gv_shm_write.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.c_uint64]
+    lib.gv_shm_read.restype = ctypes.c_int64
+    lib.gv_shm_read.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
+    lib.gv_shm_close.restype = None
+    lib.gv_shm_close.argtypes = [ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -148,6 +163,152 @@ class Mailbox:
         if self._lib is None:
             return self._seq
         return self._lib.gv_mailbox_seq(self._id)
+
+
+# ---------------------------------------------------------------------------
+# Named shared-memory mailboxes (cross-process)
+# ---------------------------------------------------------------------------
+
+_SHM_MAGIC = 0x4756534853454D31  # "GVSHSEM1"
+_SHM_HEADER = 64
+
+
+def shm_path(session: str, channel: str) -> str:
+    """Canonical mailbox path for a (session, channel) pair."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    return os.path.join(base, f"gv_{session}.{channel}.mbx")
+
+
+class ShmMailbox:
+    """Cross-process latest-wins mailbox: a file-backed seqlock buffer
+    (usually in /dev/shm) with the same semantics as Mailbox, reachable
+    from ANY process — the transport behind the live viewer (the engine
+    publishes grid/markers/overlay channels; `python -m grid_vision_tpu
+    view` attaches) and multi-process sensor producers.
+
+    Uses the native seqlock implementation when the library is built; the
+    pure-Python mmap fallback implements the identical 64-byte-header
+    layout, so native and Python endpoints interoperate freely.
+    """
+
+    def __init__(self, path: str, capacity: int = 0, create: bool = False):
+        self.path = path
+        self._h = -1
+        self._mm = None
+        lib = _load()
+        if lib is not None:
+            h = lib.gv_shm_open(path.encode(), capacity, 1 if create else 0)
+            if h < 0:
+                raise OSError(f"gv_shm_open({path!r}) failed: {h}")
+            self._h = h
+            self._lib = lib
+            self.capacity = int(lib.gv_shm_capacity(h))
+            return
+        # Pure-Python fallback: identical on-disk layout via mmap.
+        import mmap
+        import struct
+        self._struct = struct
+        if create:
+            if capacity <= 0:
+                raise ValueError("capacity required to create")
+            with open(path, "wb") as f:
+                f.write(b"\0" * (_SHM_HEADER + capacity))
+            mode = "r+b"
+        else:
+            mode = "r+b"
+            if not os.path.exists(path):
+                raise OSError(f"no mailbox at {path}")
+        self._f = open(path, mode)
+        self._mm = mmap.mmap(self._f.fileno(), 0)
+        self._lib = None
+        if create:
+            self._mm[24:32] = struct.pack("<q", capacity)
+            self._mm[32:40] = struct.pack("<Q", _SHM_MAGIC)
+            self.capacity = capacity
+        else:
+            magic, = struct.unpack("<Q", self._mm[32:40])
+            if magic != _SHM_MAGIC:
+                raise OSError(f"{path} is not a gridvision mailbox")
+            self.capacity, = struct.unpack("<q", self._mm[24:32])
+
+    def write(self, data: bytes, stamp_ns: int = 0) -> int:
+        if self._h >= 0:
+            buf = np.frombuffer(data, np.uint8)
+            rc = self._lib.gv_shm_write(self._h, _u8ptr(buf), len(buf),
+                                        stamp_ns)
+            if rc < 0:
+                raise ValueError(f"shm write failed ({rc}); "
+                                 f"payload {len(data)} > {self.capacity}?")
+            return int(rc)
+        st = self._struct
+        if len(data) > self.capacity:
+            raise ValueError(f"payload {len(data)} > {self.capacity}")
+        mm = self._mm
+        seq, = st.unpack("<Q", mm[0:8])
+        mm[0:8] = st.pack("<Q", seq + 1)          # odd: writing
+        mm[8:16] = st.pack("<q", len(data))
+        mm[16:24] = st.pack("<Q", stamp_ns)
+        mm[_SHM_HEADER:_SHM_HEADER + len(data)] = data
+        mm[0:8] = st.pack("<Q", seq + 2)          # even: stable
+        return (seq + 2) // 2
+
+    def read(self, min_seq: int = 0):
+        """Latest frame as (bytes, stamp_ns, seq), or None if no frame yet
+        or seq <= min_seq (lets pollers skip frames already seen)."""
+        if self._h >= 0:
+            size = self._lib.gv_shm_read(
+                self._h, ctypes.POINTER(ctypes.c_uint8)(), -1,
+                ctypes.POINTER(ctypes.c_uint64)(),
+                ctypes.POINTER(ctypes.c_uint64)())
+            if size <= 0:
+                return None
+            out = np.empty(size, np.uint8)
+            stamp = ctypes.c_uint64(0)
+            seq = ctypes.c_uint64(0)
+            n = self._lib.gv_shm_read(self._h, _u8ptr(out), size,
+                                      ctypes.byref(stamp), ctypes.byref(seq))
+            if n <= 0 or seq.value <= min_seq:
+                return None
+            return out[:n].tobytes(), stamp.value, int(seq.value)
+        st = self._struct
+        mm = self._mm
+        for _ in range(1024):
+            s0, = st.unpack("<Q", mm[0:8])
+            if s0 == 0:
+                return None
+            if s0 & 1:
+                continue
+            size, = st.unpack("<q", mm[8:16])
+            stamp, = st.unpack("<Q", mm[16:24])
+            data = bytes(mm[_SHM_HEADER:_SHM_HEADER + size])
+            s1, = st.unpack("<Q", mm[0:8])
+            if s0 == s1:
+                if s0 // 2 <= min_seq:
+                    return None
+                return data, stamp, s0 // 2
+        return None
+
+    def close(self) -> None:
+        if self._h >= 0:
+            self._lib.gv_shm_close(self._h)
+            self._h = -1
+        if self._mm is not None:
+            self._mm.close()
+            self._f.close()
+            self._mm = None
+
+    def unlink(self) -> None:
+        self.close()
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 # ---------------------------------------------------------------------------

@@ -75,7 +75,11 @@ def yolo_loss(variables, images, tgt_boxes, tgt_class, tgt_pos,
 
     n_pos = jnp.maximum(jnp.sum(tgt_pos), 1.0)
     ciou = _ciou(boxes, tgt_boxes)
-    box_loss = jnp.sum((1.0 - ciou) * tgt_pos) / n_pos
+    # darknet's delta scale 2 - w*h: small boxes get up to 2x weight (their
+    # CIoU gradients are otherwise dwarfed by large boxes at equal count)
+    box_scale = 2.0 - ((tgt_boxes[..., 2] - tgt_boxes[..., 0])
+                       * (tgt_boxes[..., 3] - tgt_boxes[..., 1]))
+    box_loss = jnp.sum((1.0 - ciou) * box_scale * tgt_pos) / n_pos
 
     # objectness proxy: max class conf (the export folds obj into confs)
     obj = jnp.max(confs, axis=-1)

@@ -43,9 +43,13 @@ def render_image(key: jax.Array, height: int, width: int,
     k_n, k_c, k_xy, k_wh, k_cls, k_noise = jax.random.split(key, 6)
     g = max_objects
     n_obj = jax.random.randint(k_n, (), 1, g + 1)
-    cxy = jax.random.uniform(k_xy, (g, 2), minval=0.12, maxval=0.88)
+    cxy = jax.random.uniform(k_xy, (g, 2), minval=0.08, maxval=0.92)
+    # Size range reaches down to ~2% of the image: the replay world
+    # (io/scene.py) routinely produces 10-20 px distant objects (a person
+    # at 18 m is ~18 px tall), and a detector trained only on >=6% boxes
+    # scores ~0 AP on them (measured, train/eval_map.py --source scene).
     wh = jnp.exp(jax.random.uniform(
-        k_wh, (g, 2), minval=jnp.log(0.06), maxval=jnp.log(0.45)))
+        k_wh, (g, 2), minval=jnp.log(0.018), maxval=jnp.log(0.45)))
     x0 = jnp.clip(cxy[:, 0] - wh[:, 0] / 2, 0.0, 1.0)
     x1 = jnp.clip(cxy[:, 0] + wh[:, 0] / 2, 0.0, 1.0)
     y0 = jnp.clip(cxy[:, 1] - wh[:, 1] / 2, 0.0, 1.0)
@@ -61,11 +65,16 @@ def render_image(key: jax.Array, height: int, width: int,
     xx = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) / width
     img = jnp.full((height, width, 3), 96.0)
     img = img + jnp.where(yy < 0.5, 40.0, 0.0)[..., None]
-    # paint objects back-to-front (later boxes overwrite)
+    # Paint large boxes first, small last: every labeled object stays
+    # visible (a small box fully overwritten by a later large one would
+    # be pure label noise).
+    area_order = jnp.argsort(-(x1 - x0) * (y1 - y0))
+
     def paint(i, img):
-        inside = ((xx >= x0[i]) & (xx < x1[i]) & (yy >= y0[i])
-                  & (yy < y1[i]) & valid[i])
-        return jnp.where(inside[..., None], colors[i], img)
+        j = area_order[i]
+        inside = ((xx >= x0[j]) & (xx < x1[j]) & (yy >= y0[j])
+                  & (yy < y1[j]) & valid[j])
+        return jnp.where(inside[..., None], colors[j], img)
     img = jax.lax.fori_loop(0, g, paint, img)
     img = img + jax.random.normal(k_noise, img.shape) * 4.0
     return jnp.clip(img, 0.0, 255.0), boxes, labels, valid
@@ -89,7 +98,12 @@ def assign_targets_jnp(boxes: jnp.ndarray, labels: jnp.ndarray,
              * jnp.minimum(wh[:, None, 1], anchors[None, :, 1]))
     union = (wh[:, 0:1] * wh[:, 1:2] + anchors[None, :, 0]
              * anchors[None, :, 1] - inter)
-    best = jnp.argmax(inter / jnp.maximum(union, 1e-9), axis=-1)  # (G,)
+    # Only anchors some head owns are assignable (targets._ANCHOR_USABLE:
+    # the orphaned anchor 0 would silently drop small boxes from the loss).
+    from .targets import _ANCHOR_USABLE
+    iou = jnp.where(jnp.asarray(_ANCHOR_USABLE)[None, :],
+                    inter / jnp.maximum(union, 1e-9), -1.0)
+    best = jnp.argmax(iou, axis=-1)  # (G,)
 
     cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
     cy = (boxes[:, 1] + boxes[:, 3]) / 2.0

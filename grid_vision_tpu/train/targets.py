@@ -26,6 +26,16 @@ def _wh_iou(wh: np.ndarray, anchors: np.ndarray) -> np.ndarray:
     return inter / np.maximum(union, 1e-9)
 
 
+# Anchors no head owns can never be trained: the 2-head tiny masks leave
+# anchor 0 ([10,14]) orphaned, and assigning a small ground-truth box to
+# it silently dropped the box from the loss — every object smaller than
+# ~14 px was never a positive, so the detector systematically over-sized
+# tiny boxes (measured: scene-source person AP 0.0 before this mask).
+_USED_ANCHORS = sorted({i for mask in HEAD_MASKS for i in mask})
+_ANCHOR_USABLE = np.array([i in _USED_ANCHORS
+                           for i in range(len(ANCHORS))])
+
+
 def head_offsets(cfg: YoloConfig) -> List[int]:
     """Row offset of each head in the concatenated anchor dimension."""
     offs, acc = [], 0
@@ -55,8 +65,9 @@ def assign_targets(gt_boxes: Sequence[Dict], cfg: YoloConfig):
         if w <= 0 or h <= 0 or not (0 <= cx < 1 and 0 <= cy < 1):
             continue
         wh_px = np.array([w, h]) * cfg.input_size
-        # best anchor across all priors, then find which head owns it
-        best = int(np.argmax(_wh_iou(wh_px, ANCHORS)))
+        # best anchor across the priors some head owns
+        iou = np.where(_ANCHOR_USABLE, _wh_iou(wh_px, ANCHORS), -1.0)
+        best = int(np.argmax(iou))
         for head, mask in enumerate(HEAD_MASKS):
             if best not in mask:
                 continue

@@ -100,6 +100,177 @@ uint64_t gv_mailbox_seq(int id) {
 }
 
 // ---------------------------------------------------------------------------
+// 1b. Named shared-memory mailboxes (cross-process)
+// ---------------------------------------------------------------------------
+// File-backed seqlock mailboxes (mmap of a /dev/shm path): the transport
+// that lets a *separate process* attach to a running engine session — the
+// viewer's RViz-replacement feed (grid / markers / overlay channels) and
+// multi-process sensor producers. Single-writer, any-reader.
+//
+// Layout (little-endian, 64-byte header + payload):
+//   [0:8)   uint64 seq       even = stable, odd = write in progress
+//   [8:16)  int64  size      payload bytes of the latest frame
+//   [16:24) uint64 stamp_ns
+//   [24:32) int64  capacity  max payload bytes
+//   [32:40) uint64 magic     0x4756534853454d31 ("GVSHSEM1")
+//   [40:64) reserved
+//
+// The Python runtime implements the identical layout with mmap as a
+// fallback, so native and pure-Python endpoints interoperate.
+
+}  // extern "C"
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr uint64_t kShmMagic = 0x4756534853454d31ull;
+constexpr int64_t kShmHeader = 64;
+
+struct ShmBox {
+  uint8_t* base = nullptr;   // mmap base (header)
+  int64_t map_size = 0;
+  bool writable = false;
+};
+
+constexpr int kMaxShmBoxes = 256;
+ShmBox g_shm[kMaxShmBoxes];
+std::mutex g_shm_mu;
+
+inline std::atomic<uint64_t>* shm_seq(ShmBox& b) {
+  return reinterpret_cast<std::atomic<uint64_t>*>(b.base);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open (create=1: create/overwrite with `capacity`; create=0: attach to an
+// existing mailbox, capacity read from its header). Returns a handle >= 0
+// or a negative errno-style code.
+int gv_shm_open(const char* path, int64_t capacity, int create) {
+  int fd;
+  int64_t map_size;
+  if (create) {
+    if (capacity <= 0) return -22;  // EINVAL
+    fd = ::open(path, O_RDWR | O_CREAT, 0644);
+    if (fd < 0) return -1;
+    map_size = kShmHeader + capacity;
+    if (::ftruncate(fd, map_size) != 0) {
+      ::close(fd);
+      return -2;
+    }
+  } else {
+    fd = ::open(path, O_RDWR);
+    if (fd < 0) return -1;
+    struct stat st;
+    if (::fstat(fd, &st) != 0 || st.st_size < kShmHeader) {
+      ::close(fd);
+      return -3;
+    }
+    map_size = st.st_size;
+  }
+  void* base = ::mmap(nullptr, map_size, PROT_READ | PROT_WRITE, MAP_SHARED,
+                      fd, 0);
+  ::close(fd);
+  if (base == MAP_FAILED) return -4;
+  uint8_t* p = static_cast<uint8_t*>(base);
+  if (create) {
+    std::memset(p, 0, kShmHeader);
+    std::memcpy(p + 24, &capacity, 8);
+    std::memcpy(p + 32, &kShmMagic, 8);
+  } else {
+    uint64_t magic;
+    std::memcpy(&magic, p + 32, 8);
+    int64_t cap;
+    std::memcpy(&cap, p + 24, 8);
+    if (magic != kShmMagic || cap <= 0 || kShmHeader + cap > map_size) {
+      ::munmap(base, map_size);
+      return -5;
+    }
+  }
+  std::lock_guard<std::mutex> lock(g_shm_mu);
+  for (int h = 0; h < kMaxShmBoxes; ++h) {
+    if (g_shm[h].base == nullptr) {
+      g_shm[h].base = p;
+      g_shm[h].map_size = map_size;
+      g_shm[h].writable = create != 0;
+      return h;
+    }
+  }
+  ::munmap(base, map_size);
+  return -6;  // handle table full
+}
+
+int64_t gv_shm_capacity(int h) {
+  if (h < 0 || h >= kMaxShmBoxes || g_shm[h].base == nullptr) return -1;
+  int64_t cap;
+  std::memcpy(&cap, g_shm[h].base + 24, 8);
+  return cap;
+}
+
+// Publish a frame. Single writer per mailbox. Returns the frame sequence
+// number (count of completed writes) or negative on error.
+int64_t gv_shm_write(int h, const uint8_t* data, int64_t size,
+                     uint64_t stamp_ns) {
+  if (h < 0 || h >= kMaxShmBoxes || g_shm[h].base == nullptr || size < 0)
+    return -1;
+  ShmBox& b = g_shm[h];
+  int64_t cap;
+  std::memcpy(&cap, b.base + 24, 8);
+  if (size > cap) return -2;
+  std::atomic<uint64_t>* seq = shm_seq(b);
+  uint64_t s = seq->fetch_add(1, std::memory_order_acq_rel) + 1;  // -> odd
+  std::memcpy(b.base + 8, &size, 8);
+  std::memcpy(b.base + 16, &stamp_ns, 8);
+  std::memcpy(b.base + kShmHeader, data, size);
+  seq->fetch_add(1, std::memory_order_acq_rel);                   // -> even
+  return static_cast<int64_t>((s + 1) / 2);
+}
+
+// Read the latest frame. cap < 0: return required size without copying.
+// Returns bytes copied, 0 if no frame yet, -needed if cap too small, or
+// -1 on a bad handle. seq_out (optional) receives the frame sequence so
+// readers can skip frames they have already seen.
+int64_t gv_shm_read(int h, uint8_t* out, int64_t cap, uint64_t* stamp_ns,
+                    uint64_t* seq_out) {
+  if (h < 0 || h >= kMaxShmBoxes || g_shm[h].base == nullptr) return -1;
+  ShmBox& b = g_shm[h];
+  std::atomic<uint64_t>* seq = shm_seq(b);
+  for (int attempt = 0; attempt < 1024; ++attempt) {
+    uint64_t s0 = seq->load(std::memory_order_acquire);
+    if (s0 == 0) return 0;   // never written
+    if (s0 & 1) continue;    // writer active
+    int64_t n;
+    uint64_t stamp;
+    std::memcpy(&n, b.base + 8, 8);
+    std::memcpy(&stamp, b.base + 16, 8);
+    if (cap < 0) return n;
+    if (n > cap) return -n;
+    std::memcpy(out, b.base + kShmHeader, n);
+    uint64_t s1 = seq->load(std::memory_order_acquire);
+    if (s0 == s1) {
+      if (stamp_ns) *stamp_ns = stamp;
+      if (seq_out) *seq_out = s0 / 2;
+      return n;
+    }
+  }
+  return 0;
+}
+
+void gv_shm_close(int h) {
+  if (h < 0 || h >= kMaxShmBoxes) return;
+  std::lock_guard<std::mutex> lock(g_shm_mu);
+  if (g_shm[h].base != nullptr) {
+    ::munmap(g_shm[h].base, g_shm[h].map_size);
+    g_shm[h] = ShmBox{};
+  }
+}
+
+// ---------------------------------------------------------------------------
 // 2. Point-cloud packing
 // ---------------------------------------------------------------------------
 // Parse an interleaved binary point blob (PointCloud2-style: `stride`

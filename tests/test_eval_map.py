@@ -1,0 +1,98 @@
+"""mAP harness: exact AP math against hand-derived oracles, matching
+protocol edge cases, and a quality floor for the shipped detector."""
+
+import os
+
+import numpy as np
+import pytest
+
+from grid_vision_tpu.train.eval_map import (average_precision, iou_matrix,
+                                            match_image, score_detections)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_iou_matrix_exact():
+    a = np.array([[0, 0, 10, 10], [5, 5, 15, 15]], float)
+    b = np.array([[0, 0, 10, 10], [10, 10, 20, 20]], float)
+    m = iou_matrix(a, b)
+    assert m[0, 0] == pytest.approx(1.0)
+    assert m[0, 1] == pytest.approx(0.0)
+    assert m[1, 1] == pytest.approx(25 / 175)
+
+
+def test_average_precision_hand_case():
+    # conf-desc: TP, FP, TP with 2 ground truths.
+    # recall 0.5 @ p=1.0, recall 1.0 @ p=2/3 -> AP = .5*1 + .5*(2/3)
+    tp = np.array([True, False, True])
+    conf = np.array([0.9, 0.8, 0.7])
+    assert average_precision(tp, conf, n_gt=2) == pytest.approx(
+        0.5 * 1.0 + 0.5 * (2 / 3))
+
+
+def test_average_precision_envelope():
+    # FP first: precision envelope lifts later precision to the max right
+    tp = np.array([False, True])
+    conf = np.array([0.9, 0.8])
+    # recall 1.0 at p=0.5 -> AP = 0.5
+    assert average_precision(tp, conf, n_gt=1) == pytest.approx(0.5)
+
+
+def test_average_precision_empty_and_nan():
+    assert average_precision(np.zeros(0, bool), np.zeros(0), 5) == 0.0
+    assert np.isnan(average_precision(np.array([True]), np.array([0.9]), 0))
+
+
+def test_match_greedy_one_to_one():
+    gt = np.array([[0, 0, 10, 10]], float)
+    gl = np.array([1])
+    # two predictions on the same gt: only the higher-conf one is TP
+    pxy = np.array([[0, 0, 10, 10], [1, 1, 11, 11]], float)
+    tp = match_image(pxy, np.array([0.5, 0.9]), np.array([1, 1]), gt, gl)
+    assert tp.tolist() == [False, True]  # conf 0.9 matched first
+
+
+def test_match_class_must_agree():
+    gt = np.array([[0, 0, 10, 10]], float)
+    tp = match_image(gt.copy(), np.array([0.9]), np.array([2]), gt,
+                     np.array([1]))
+    assert not tp.any()
+
+
+def test_match_iou_threshold():
+    gt = np.array([[0, 0, 10, 10]], float)
+    pred = np.array([[5, 0, 15, 10]], float)  # IoU = 1/3
+    assert not match_image(pred, np.array([0.9]), np.array([0]), gt,
+                           np.array([0]), iou_thresh=0.5).any()
+    assert match_image(pred, np.array([0.9]), np.array([0]), gt,
+                       np.array([0]), iou_thresh=0.3).any()
+
+
+def test_score_detections_perfect():
+    gts = [(np.array([[0, 0, 10, 10]], float), np.array([9]))]
+    preds = [(np.array([[0, 0, 10, 10]], float), np.array([0.9]),
+              np.array([9]))]
+    res = score_detections(preds, gts)
+    assert res.map50 == pytest.approx(1.0)
+    assert res.per_class_ap["Vehicle"] == pytest.approx(1.0)
+    assert res.n_gt == 1 and res.n_images == 1
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(REPO, "weights/detector.npz")),
+    reason="no shipped detector")
+def test_shipped_detector_map_floor():
+    """Quality regression net: the shipped weights must clear stated
+    mAP@0.5 floors on BOTH held-out sources through the production
+    decode path (documented in docs/QUALITY.md)."""
+    from grid_vision_tpu.config import GridVisionConfig
+    from grid_vision_tpu.models import weights
+    from grid_vision_tpu.train.eval_map import evaluate_detector
+
+    cfg = GridVisionConfig(
+        detection_weights_file="/weights/detector.npz")
+    params = weights.load_all(cfg, base_dir=REPO)
+    synth = evaluate_detector(params, cfg, n_images=12, source="synth")
+    assert synth.map50 >= 0.60, synth.to_dict()
+    scene = evaluate_detector(params, cfg, n_images=8, source="scene")
+    assert scene.map50 >= 0.45, scene.to_dict()
