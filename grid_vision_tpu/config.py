@@ -117,6 +117,16 @@ class GridVisionConfig:
                                     # aligned channels — round-2 default)
                                     # or "resnet" (round-1 ResNet-18)
 
+    # Packed-wire streaming format (types.Obs.pack_bytes/unpack): what
+    # crosses the host->device link per frame. "rgb8"/"float32" is
+    # lossless vs the reference's cv_bridge rgb8 ingest; "yuv420" (4:2:0
+    # chroma subsampling — what real camera streams carry natively) +
+    # "float16" xyz halve the wire bytes again for link-bound deployments
+    # (sub-cm point error at 60 m; chroma-flat synthetic scenes decode
+    # losslessly in luma).
+    wire_image_codec: str = "rgb8"   # "rgb8" | "yuv420"
+    wire_cloud_dtype: str = "float32"  # "float32" | "float16"
+
     # ------------------------------------------------------------------
     # Derived geometry (grid_map semantics).
     # ------------------------------------------------------------------
@@ -169,6 +179,15 @@ class GridVisionConfig:
         if self.orientation_arch not in ("s2d", "resnet"):
             raise ValueError(
                 f"unknown orientation_arch {self.orientation_arch!r}")
+        if self.wire_image_codec not in ("rgb8", "yuv420"):
+            raise ValueError(
+                f"unknown wire_image_codec {self.wire_image_codec!r}")
+        if self.wire_cloud_dtype not in ("float32", "float16"):
+            raise ValueError(
+                f"unknown wire_cloud_dtype {self.wire_cloud_dtype!r}")
+        if self.wire_image_codec == "yuv420" and (
+                self.camera_image_height % 2 or self.camera_image_width % 2):
+            raise ValueError("yuv420 wire codec needs even image dims")
         for name in ("max_points", "max_detections", "k_near", "ransac_iters"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")

@@ -32,6 +32,10 @@ class SyntheticScene:
                  cam_height: float = 1.8, n_ground: int = 6000):
         self.cfg = cfg
         self.rng = np.random.default_rng(seed)
+        # cloud_at must be PURE in t: replay prefetch workers render
+        # frames out of order, and a stateful draw per call would make
+        # the sequence depend on scheduling.
+        self._cloud_seed = int(self.rng.integers(2**31))
         self.cam_height = cam_height
         self.n_ground = n_ground
         self.objects: List[MovingObject] = []
@@ -51,8 +55,9 @@ class SyntheticScene:
                         (0.6, 1.0, 0.6), 2)   # crossing person
 
     def cloud_at(self, t: float) -> np.ndarray:
-        """Camera-frame (N, 3) LiDAR points at time t."""
-        rng = np.random.default_rng(self.rng.integers(2**31) + int(t * 1e3))
+        """Camera-frame (N, 3) LiDAR points at time t (deterministic in
+        (seed, t) — see __init__)."""
+        rng = np.random.default_rng(self._cloud_seed + int(t * 1e3))
         gx = rng.uniform(-12, 12, self.n_ground)
         gz = rng.uniform(1.5, 55, self.n_ground)
         gy = np.full(self.n_ground, self.cam_height) + \

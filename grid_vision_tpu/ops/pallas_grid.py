@@ -49,14 +49,18 @@ def _grid_kernel(lo_x0_ref, hi_x0_ref, lo_x1_ref, hi_x1_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, (block_h, width), 0) + row0
     cols = jax.lax.broadcasted_iota(jnp.int32, (block_h, width), 1)
 
-    acc = log_odds_ref[:] + decay
-
-    def body(d, acc):
+    # Count covering boxes, then ONE hit*count add — the same op order
+    # as the XLA einsum rasterizer (rasterize._block_increment), so
+    # overlapping boxes stay bit-equal (sequential += hit differs by
+    # ulps when k boxes cover a cell).
+    def body(d, cnt):
         in_box = ((rows >= lo_x0_ref[d]) & (rows <= hi_x0_ref[d])
                   & (cols >= lo_x1_ref[d]) & (cols <= hi_x1_ref[d]))
-        return acc + jnp.where(in_box, hit, 0.0)
+        return cnt + in_box.astype(jnp.float32)
 
-    acc = jax.lax.fori_loop(0, n_boxes, body, acc)
+    cnt = jax.lax.fori_loop(0, n_boxes, body,
+                            jnp.zeros((block_h, width), jnp.float32))
+    acc = log_odds_ref[:] + decay + hit * cnt
     acc = jnp.clip(acc, lo_min, lo_max)
     lo_out_ref[:] = acc
     occ_out_ref[:] = 1.0 / (1.0 + jnp.exp(-acc))

@@ -62,6 +62,55 @@ def carve_mask_sampled(origin_xy: jnp.ndarray, points_xy: jnp.ndarray,
     return mask.at[ix, iy].max(val)
 
 
+def range_profile(origin_xy: jnp.ndarray, points_xy: jnp.ndarray,
+                  valid: jnp.ndarray, n_bins: int = 4096) -> jnp.ndarray:
+    """(n_bins,) per-angle-bin max endpoint range (the polar beam model's
+    measurement profile): endpoints scatter-max into angle bins, then the
+    profile is dilated +-2 bins (beam-width smoothing — scans sparser
+    than the bin grid would otherwise leave striped gaps)."""
+    rel = points_xy - origin_xy[None, :]
+    r = jnp.sqrt(rel[:, 0] * rel[:, 0] + rel[:, 1] * rel[:, 1])
+    theta = jnp.arctan2(rel[:, 1], rel[:, 0])
+    pbin = jnp.clip(((theta + jnp.pi) * (n_bins / (2.0 * jnp.pi)))
+                    .astype(jnp.int32), 0, n_bins - 1)
+    ranges = jnp.zeros((n_bins,), jnp.float32).at[pbin].max(
+        jnp.where(valid, r, 0.0))
+    bin_dilation = 2
+    return jnp.max(jnp.stack(
+        [jnp.roll(ranges, s) for s in range(-bin_dilation,
+                                            bin_dilation + 1)]), axis=0)
+
+
+def cell_polar_maps(origin_xy: jnp.ndarray, cfg: GridVisionConfig,
+                    n_bins: int = 4096):
+    """Per-cell polar geometry: ((H, W) int32 angle-bin index, (H, W)
+    f32 range of the cell center from the origin). Shared by the XLA
+    carve and the fused Pallas kernel (ops/pallas_raycast.py) — their
+    bit-equality depends on both consuming these identical maps."""
+    h, w = cfg.grid_size
+    length = (float(cfg.grid_x), float(cfg.grid_y))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    centers = grid_position_from_index(
+        jnp.stack([rows, cols], axis=-1), cfg.grid_center, length,
+        cfg.resolution)
+    crel = centers - origin_xy
+    ctheta = jnp.arctan2(crel[..., 1], crel[..., 0])
+    cbin = jnp.clip(((ctheta + jnp.pi) * (n_bins / (2.0 * jnp.pi)))
+                    .astype(jnp.int32), 0, n_bins - 1)
+    cr = jnp.sqrt(crel[..., 0] * crel[..., 0]
+                  + crel[..., 1] * crel[..., 1])
+    return cbin, cr
+
+
+def cell_range_map(ranges: jnp.ndarray, origin_xy: jnp.ndarray,
+                   cfg: GridVisionConfig) -> jnp.ndarray:
+    """(H, W) measured beam range at each cell's angle bin (one gather
+    from the polar profile)."""
+    cbin, _ = cell_polar_maps(origin_xy, cfg, ranges.shape[0])
+    return ranges[cbin]
+
+
 def carve_mask(origin_xy: jnp.ndarray, points_xy: jnp.ndarray,
                valid: jnp.ndarray, cfg: GridVisionConfig,
                n_bins: int = 4096) -> jnp.ndarray:
@@ -80,35 +129,8 @@ def carve_mask(origin_xy: jnp.ndarray, points_xy: jnp.ndarray,
     resolution (0.088 deg) is finer than one cell subtends anywhere on
     the default 50 m grid.
     """
-    h, w = cfg.grid_size
-    length = (float(cfg.grid_x), float(cfg.grid_y))
-
-    rel = points_xy - origin_xy[None, :]
-    r = jnp.linalg.norm(rel, axis=-1)
-    theta = jnp.arctan2(rel[:, 1], rel[:, 0])
-    pbin = jnp.clip(((theta + jnp.pi) * (n_bins / (2.0 * jnp.pi)))
-                    .astype(jnp.int32), 0, n_bins - 1)
-    ranges = jnp.zeros((n_bins,), jnp.float32).at[pbin].max(
-        jnp.where(valid, r, 0.0))
-    # Dilate the range profile over +-bin_dilation neighbors: scans
-    # sparser than the bin grid would otherwise leave striped gaps
-    # (beam-width smoothing; shadows narrower than the window bleed).
-    bin_dilation = 2
-    ranges = jnp.max(jnp.stack(
-        [jnp.roll(ranges, s) for s in range(-bin_dilation,
-                                            bin_dilation + 1)]), axis=0)
-
-    # Static cell-center geometry.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    centers = grid_position_from_index(
-        jnp.stack([rows, cols], axis=-1), cfg.grid_center, length,
-        cfg.resolution)
-    crel = centers - origin_xy
-    cr = jnp.linalg.norm(crel, axis=-1)
-    ctheta = jnp.arctan2(crel[..., 1], crel[..., 0])
-    cbin = jnp.clip(((ctheta + jnp.pi) * (n_bins / (2.0 * jnp.pi)))
-                    .astype(jnp.int32), 0, n_bins - 1)
+    ranges = range_profile(origin_xy, points_xy, valid, n_bins)
+    cbin, cr = cell_polar_maps(origin_xy, cfg, n_bins)
     cell_range = ranges[cbin]                                # (H, W)
     # Strictly inside the beam: farther than 0, closer than the endpoint
     # by at least one cell diagonal (protects the endpoint's own cell).
@@ -125,7 +147,32 @@ def lshape_update_with_carving(log_odds: jnp.ndarray, poses: LShapePoses,
                                log_odds_free: float = -0.4):
     """Extension-mode grid update: decay + raycast free carving + box
     hits -> clamp -> sigmoid. Uses the reference's declared-but-unused
-    free constant by default."""
-    carve = carve_mask(origin_xy, points_xy, points_valid, cfg)
+    free constant by default.
+
+    grid_backend="pallas" routes to the fused single-pass kernel
+    (ops/pallas_raycast.py, bit-equal); default is this XLA chain."""
+    if cfg.grid_backend == "pallas":
+        from .pallas_raycast import lshape_update_with_carving_pallas
+        return lshape_update_with_carving_pallas(
+            log_odds, poses, origin_xy, points_xy, points_valid, cfg,
+            log_odds_free)
+    ranges = range_profile(origin_xy, points_xy, points_valid)
+    cbin, cr = cell_polar_maps(origin_xy, cfg)
+    return carve_update_from_maps(log_odds, poses, ranges, cbin, cr,
+                                  cfg, log_odds_free)
+
+
+def carve_update_from_maps(log_odds: jnp.ndarray, poses: LShapePoses,
+                           ranges: jnp.ndarray, cbin: jnp.ndarray,
+                           cr: jnp.ndarray, cfg: GridVisionConfig,
+                           log_odds_free: float = -0.4):
+    """XLA carve+update from precomputed polar maps — the reference the
+    fused Pallas kernel is bit-equality-tested against (both consume the
+    same concrete maps, removing cross-program fusion/FMA ambiguity in
+    the map computation itself)."""
+    cell_range = ranges[cbin]
+    margin = cfg.resolution * 1.5
+    carve = ((cr < cell_range - margin) & (cell_range > 0)).astype(
+        jnp.float32)
     log_odds = log_odds + log_odds_free * carve
     return rasterize.lshape_update(log_odds, poses, cfg)

@@ -173,6 +173,16 @@ def step(params: Dict[str, Any], state: GridState, obs: Obs,
                 prenms_overflow=prenms_overflow)
 
 
+def step_packed(params: Dict[str, Any], state: GridState,
+                packed: jnp.ndarray, extrinsics: Extrinsics,
+                cfg: GridVisionConfig):
+    """step() on a packed-wire observation (types.Obs.unpack): the
+    streaming ingest path — ONE uint8 host->device transfer per frame
+    (rgb8 image + packed cloud) instead of six typed arrays. The unpack
+    is pure reshape/bitcast, fused into the first consumers."""
+    return step(params, state, Obs.unpack(packed, cfg), extrinsics, cfg)
+
+
 def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
          extrinsics: Extrinsics, cfg: GridVisionConfig,
          poses_cam: LShapePoses | None = None,
@@ -424,6 +434,10 @@ class Engine:
         self.params = jax.device_put(params)
         self._step = jax.jit(functools.partial(step, cfg=self.cfg),
                              donate_argnums=(1,))
+        self._step_packed = jax.jit(
+            functools.partial(step_packed, cfg=self.cfg),
+            donate_argnums=(1,))
+        self._chunk_jits: Dict[int, Any] = {}
 
     def init_state(self, seed: int = 0) -> GridState:
         return GridState.create(self.cfg, seed)
@@ -440,3 +454,33 @@ class Engine:
 
     def __call__(self, state: GridState, obs: Obs):
         return self._step(self.params, state, obs, self.extrinsics)
+
+    def call_packed(self, state: GridState, packed) -> tuple:
+        """step on a packed-wire observation (host uint8 buffer or
+        device array; see types.Obs.pack_bytes)."""
+        return self._step_packed(self.params, state, packed,
+                                 self.extrinsics)
+
+    def call_packed_chunk(self, state: GridState, chunk) -> GridState:
+        """Throughput-mode ingest: a (K, nbytes) stack of packed frames
+        runs as ONE transfer + ONE scan dispatch of K sequential steps.
+        On a latency-bound host link (this machine's tunnel: ~15 ms per
+        round trip regardless of size) this amortizes the fixed cost over
+        K frames at the price of K-frame output latency. Per-step outputs
+        are not materialized — only the carried grid state (the temporal
+        sequence semantics are identical to K call_packed steps)."""
+        k = int(chunk.shape[0])
+        fn = self._chunk_jits.get(k)
+        if fn is None:
+            cfg = self.cfg
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def fn(params, state, bufs, extr):
+                def body(s, b):
+                    s2, _ = step_packed(params, s, b, extr, cfg)
+                    return s2, ()
+                s, _ = jax.lax.scan(body, state, bufs)
+                return s
+
+            self._chunk_jits[k] = fn
+        return fn(self.params, state, chunk, self.extrinsics)

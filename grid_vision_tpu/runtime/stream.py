@@ -17,6 +17,7 @@ import time
 from typing import Callable, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import GridVisionConfig
@@ -57,31 +58,122 @@ class ReplayResult:
         return self.n_steps / self.wall_s if self.wall_s > 0 else 0.0
 
 
+def packed_from_scene(scene: SyntheticScene, t: float,
+                      cfg: GridVisionConfig):
+    """Render + pack one observation into the single-transfer wire
+    buffer (types.Obs.pack_bytes). Returns (np.uint8 buffer, dropped)."""
+    xyz = scene.cloud_at(t)
+    out_xyz, out_int, n, dropped = PointCloud.pack_host(
+        xyz, None, cfg.max_points)
+    img = np.clip(scene.image_at(t), 0, 255).astype(np.uint8)
+    buf = Obs.pack_bytes(img, out_xyz, out_int, n, True, n > 0, cfg)
+    return buf, dropped
+
+
+def replay_chunked(engine: Engine, scene: SyntheticScene, n_steps: int,
+                   hz: float = 10.0, chunk: int = 8, prefetch: int = 4,
+                   workers: int = 2) -> ReplayResult:
+    """Throughput-mode sequence replay: K packed frames per transfer,
+    one scan dispatch per chunk (Engine.call_packed_chunk). Use when the
+    host link is latency-bound and K frames of output delay are
+    acceptable; `replay` (per-frame) is the realtime-capable path."""
+    import concurrent.futures
+
+    cfg = engine.cfg
+    period = 1.0 / hz
+    n_chunks = max(n_steps // chunk, 1)
+
+    def gen(ci: int):
+        bufs = [packed_from_scene(scene, (ci * chunk + j) * period, cfg)[0]
+                for j in range(chunk)]
+        return np.stack(bufs)
+
+    state = engine.init_state()
+    stats: List[StepStats] = []
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
+        futures = {i: pool.submit(gen, i)
+                   for i in range(min(prefetch, n_chunks))}
+        t_start = time.perf_counter()
+        for i in range(n_chunks):
+            buf = futures.pop(i).result()
+            j = i + prefetch
+            if j < n_chunks:
+                futures[j] = pool.submit(gen, j)
+            t0 = time.perf_counter()
+            state = engine.call_packed_chunk(state, jnp.asarray(buf))
+            stats.append(StepStats(
+                step=i * chunk, dispatch_s=time.perf_counter() - t0,
+                cloud_points_dropped=0))
+        _ = float(np.asarray(jax.device_get(
+            state.log_odds.reshape(-1)[0])))
+        wall = time.perf_counter() - t_start
+    return ReplayResult(n_steps=n_chunks * chunk, wall_s=wall,
+                        stats=stats, final_state=state)
+
+
+def replay_ring(engine: Engine, scene: SyntheticScene, n_steps: int,
+                hz: float = 10.0, chunk: int = 8,
+                ring: int = 64) -> ReplayResult:
+    """Ingest-rate measurement: pre-pack `ring` frames, then stream
+    `n_steps` frames from the ring through the chunked packed path.
+
+    This isolates what the ENGINE can ingest (host->device wire +
+    unpack + fused step) from the cost of synthesizing the frames — a
+    deployed rig receives camera/LiDAR frames from hardware; it does not
+    ray-trace them. `replay`/`replay_chunked` include the synthetic
+    renderer and therefore under-report ingest capability whenever
+    rendering is slower than the device (see docs/PERF.md streaming
+    section)."""
+    cfg = engine.cfg
+    period = 1.0 / hz
+    ring = max(ring, chunk)
+    bufs = np.stack([packed_from_scene(scene, i * period, cfg)[0]
+                     for i in range(ring)])
+    n_chunks = max(n_steps // chunk, 1)
+    state = engine.init_state()
+    t_start = time.perf_counter()
+    for i in range(n_chunks):
+        lo = (i * chunk) % (ring - chunk + 1)
+        state = engine.call_packed_chunk(
+            state, jnp.asarray(bufs[lo:lo + chunk]))
+    _ = float(np.asarray(jax.device_get(
+        state.log_odds.reshape(-1)[0])))
+    wall = time.perf_counter() - t_start
+    return ReplayResult(n_steps=n_chunks * chunk, wall_s=wall, stats=[],
+                        final_state=state)
+
+
 def replay(engine: Engine, scene: SyntheticScene, n_steps: int,
            hz: float = 10.0, realtime: bool = False,
            on_step: Optional[Callable] = None,
-           prefetch: int = 2) -> ReplayResult:
+           prefetch: int = 8, packed: bool = True,
+           workers: int = 2) -> ReplayResult:
     """Run a temporal sequence through the engine.
 
     realtime=False free-runs (throughput mode); realtime=True paces the
     loop at `hz` like the reference's wall timer, overwriting stale
     frames (latest-wins) if the device is slower than the sensor.
 
-    Host scene generation/packing overlaps device compute: a background
-    thread keeps `prefetch` observations in flight (jax dispatch is
-    async, so the device executes step t while the host builds t+1..).
+    packed=True (default) streams each frame as ONE uint8 wire buffer
+    (rgb8 image + packed cloud, ~4.5x fewer bytes and 6x fewer transfers
+    than typed f32 arrays) consumed by the jitted unpack+step; the
+    worker pool keeps `prefetch` frames in flight so rendering, the
+    host->device copies, and device compute all overlap (jax dispatch is
+    async). packed=False keeps the typed-Obs path (used by tests that
+    inject observations directly).
     """
     import concurrent.futures
 
     cfg = engine.cfg
     state = engine.init_state()
     period = 1.0 / hz
+    gen = (packed_from_scene if packed else obs_from_scene_with_stats)
+    call = (engine.call_packed if packed else engine)
 
     stats: List[StepStats] = []
-    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
         futures = {
-            i: pool.submit(obs_from_scene_with_stats, scene, i * period,
-                           cfg)
+            i: pool.submit(gen, scene, i * period, cfg)
             for i in range(min(prefetch, n_steps))
         }
         t_start = time.perf_counter()
@@ -89,10 +181,9 @@ def replay(engine: Engine, scene: SyntheticScene, n_steps: int,
             obs, cloud_dropped = futures.pop(i).result()
             j = i + prefetch
             if j < n_steps:
-                futures[j] = pool.submit(obs_from_scene_with_stats, scene,
-                                         j * period, cfg)
+                futures[j] = pool.submit(gen, scene, j * period, cfg)
             t0 = time.perf_counter()
-            state, out = engine(state, obs)   # async dispatch
+            state, out = call(state, obs)   # async dispatch
             t_dispatch = time.perf_counter() - t0
             if on_step is not None:
                 on_step(i, state, out)
@@ -102,7 +193,11 @@ def replay(engine: Engine, scene: SyntheticScene, n_steps: int,
                 sleep = (i + 1) * period - (time.perf_counter() - t_start)
                 if sleep > 0:
                     time.sleep(sleep)
-        jax.block_until_ready(state.log_odds)
+        # Scalar readback, not block_until_ready: on this machine's
+        # tunnel backend block_until_ready returns before the work is
+        # done (CLAUDE.md), which would overstate achieved_hz.
+        _ = float(np.asarray(jax.device_get(
+            state.log_odds.reshape(-1)[0])))
         wall = time.perf_counter() - t_start
     return ReplayResult(n_steps=n_steps, wall_s=wall, stats=stats,
                         final_state=state)

@@ -25,6 +25,12 @@ def main(argv=None):
     ap.add_argument("--out", default="weights/detector.npz")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--input-size", type=int, default=416)
+    ap.add_argument("--scene-frames", type=int, default=0,
+                    help="mix in N pre-rendered replay-world frames "
+                         "(train/scene_dataset.py; uploaded once)")
+    ap.add_argument("--scene-frac", type=float, default=0.5,
+                    help="fraction of each batch drawn from the scene "
+                         "dataset (rest is on-device rectangles)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -47,10 +53,42 @@ def main(argv=None):
     state = trainer.init_train_state("yolo", ycfg, tx, jax.random.PRNGKey(0))
     step_fn = trainer.make_train_step("yolo", ycfg, tx)
 
+    b_scene = (int(round(args.batch * args.scene_frac))
+               if args.scene_frames else 0)
+    b_synth = args.batch - b_scene
+    if b_scene:
+        from ..config import GridVisionConfig
+        from ..ops.preprocess import preprocess_detector_image
+        from .scene_dataset import build_scene_dataset
+        print(f"rendering {args.scene_frames} scene frames...", flush=True)
+        imgs_u8, stb, stc, stp = build_scene_dataset(
+            args.scene_frames, GridVisionConfig(), ycfg)
+        # single upload; uint8 keeps it 4x smaller in HBM
+        ds = tuple(jnp.asarray(a) for a in (imgs_u8, stb, stc, stp))
+
+        def scene_batch(kk):
+            ki, kb, kn = jax.random.split(kk, 3)
+            idx = jax.random.randint(ki, (b_scene,), 0, args.scene_frames)
+            raw = ds[0][idx].astype(jnp.float32)
+            # photometric augmentation (geometry must stay fixed — the
+            # dense anchor targets encode box positions)
+            raw = raw * jax.random.uniform(kb, (b_scene, 1, 1, 1),
+                                           jnp.float32, 0.85, 1.15)
+            raw = raw + jax.random.normal(kn, raw.shape) * 4.0
+            raw = jnp.clip(raw, 0.0, 255.0)
+            net = jax.vmap(functools.partial(
+                preprocess_detector_image, size=ycfg.input_size))(raw)
+            return net, ds[1][idx], ds[2][idx], ds[3][idx]
+
     @jax.jit
     def run_chunk(state, key):
         def body(s, kk):
-            batch = make_batch_on_device(kk, args.batch, ycfg)
+            k1, k2 = jax.random.split(kk)
+            batch = make_batch_on_device(k1, b_synth, ycfg)
+            if b_scene:
+                sb = scene_batch(k2)
+                batch = tuple(jnp.concatenate([a, b])
+                              for a, b in zip(batch, sb))
             s2, metrics = step_fn(s, *batch)
             return s2, metrics["loss"]
         return jax.lax.scan(body, state,

@@ -1,0 +1,86 @@
+"""Host-scene training frames for the detector: the replay-world domain.
+
+The on-device rectangle world (synth_data.py) teaches class colors and
+box regression, but the engine's actual input distribution is the host
+SyntheticScene renderer (io/scene.py): perspective-projected 3D boxes
+with depth shading, a ground plane, and a horizon — visually different
+enough that a rectangle-only detector scores ~0.55 mAP@0.5 on it
+(train/eval_map.py --source scene). The reference's pretrained weights
+were trained on real footage of the deployment world
+(/root/reference/.MISSING_LARGE_BLOBS:1-3, CARLA-verified per SURVEY §4);
+the equivalent here is training on frames of OUR deployment world.
+
+This module renders a fixed dataset of scene frames ONCE on the host,
+assigns dense anchor targets (train/targets.py), and hands the whole
+thing to the trainer as device arrays — uploaded a single time, so the
+per-step training loop stays zero-host-traffic (the tunnel constraint
+that motivated on-device rendering in the first place).
+
+Seed hygiene: training scenes use seeds >= 2000; the held-out eval
+sources use seed 500 (scene) and PRNGKey(7.7M) (synth) — disjoint.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..config import GridVisionConfig
+from ..io.scene import SyntheticScene
+from ..models.yolov4_tiny import YoloConfig
+from .targets import assign_targets
+
+
+def build_scene_dataset(n_frames: int, cfg: GridVisionConfig,
+                        ycfg: YoloConfig, seed: int = 2000
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                   np.ndarray]:
+    """Render `n_frames` randomized-traffic frames with dense targets.
+
+    Returns (images (N, H, W, 3) uint8, tgt_boxes (N, A, 4) f32,
+    tgt_class (N, A) i32, tgt_pos (N, A) f32) — images at full camera
+    resolution so the trainer can apply the EXACT production resize
+    (ops/preprocess.preprocess_detector_image) for train/test
+    consistency.
+    """
+    rng = np.random.default_rng(seed)
+    h, w = cfg.camera_image_height, cfg.camera_image_width
+    images = np.empty((n_frames, h, w, 3), np.uint8)
+    tb = np.empty((n_frames, ycfg.num_anchors_total, 4), np.float32)
+    tc = np.empty((n_frames, ycfg.num_anchors_total), np.int32)
+    tp = np.empty((n_frames, ycfg.num_anchors_total), np.float32)
+    for i in range(n_frames):
+        scene = SyntheticScene(cfg, seed=seed + i)
+        scene.add_default_traffic()
+        for _ in range(int(rng.integers(0, 4))):
+            if rng.random() < 0.65:   # extra vehicle
+                scene.add_object(
+                    center=[rng.uniform(-5, 5), 1.2, rng.uniform(6, 40)],
+                    velocity=[rng.uniform(-1, 1), 0.0,
+                              rng.uniform(-3, 1)],
+                    size=(1.8, 1.4, 4.2), label=9)
+            else:                     # extra person
+                scene.add_object(
+                    center=[rng.uniform(-4, 4), 0.9,
+                            rng.uniform(4, 25)],
+                    velocity=[rng.uniform(-1.2, 1.2), 0.0,
+                              rng.uniform(-0.5, 0.5)],
+                    size=(0.5, 1.7, 0.5), label=2)
+        t = float(rng.uniform(0.0, 3.0))
+        images[i] = np.clip(scene.image_at(t), 0, 255).astype(np.uint8)
+        gts = []
+        for j in range(len(scene.objects)):
+            bb = scene.bbox_at(j, t)
+            if bb is None:
+                continue
+            x0 = max(0.0, bb["x_min"]) / w
+            y0 = max(0.0, bb["y_min"]) / h
+            x1 = min(float(w), bb["x_max"]) / w
+            y1 = min(float(h), bb["y_max"]) / h
+            if (x1 - x0) * w < 2.0 or (y1 - y0) * h < 2.0:
+                continue
+            gts.append({"x_min": x0, "y_min": y0, "x_max": x1,
+                        "y_max": y1, "label": bb["label"]})
+        tb[i], tc[i], tp[i] = assign_targets(gts, ycfg)
+    return images, tb, tc, tp

@@ -107,11 +107,10 @@ class PointCloud:
         return PointCloud.pack_numpy(xyz, intensity, capacity)[0]
 
     @staticmethod
-    def pack_numpy(xyz: np.ndarray, intensity: np.ndarray | None,
-                   capacity: int) -> tuple["PointCloud", int]:
-        """from_numpy that also reports how many finite points were
-        dropped by subsampling (capacity-saturation telemetry; the
-        reference's dynamically-sized cloud never truncates)."""
+    def pack_host(xyz: np.ndarray, intensity: np.ndarray | None,
+                  capacity: int):
+        """Pure-numpy packer (no device transfer): returns
+        (out_xyz (cap,3) f32, out_intensity (cap,) f32, n, dropped)."""
         xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
         if intensity is None:
             intensity = np.zeros((xyz.shape[0],), np.float32)
@@ -127,6 +126,16 @@ class PointCloud:
         out_int = np.zeros((capacity,), np.float32)
         out_xyz[:n] = xyz[:n]
         out_int[:n] = intensity[:n]
+        return out_xyz, out_int, n, dropped
+
+    @staticmethod
+    def pack_numpy(xyz: np.ndarray, intensity: np.ndarray | None,
+                   capacity: int) -> tuple["PointCloud", int]:
+        """from_numpy that also reports how many finite points were
+        dropped by subsampling (capacity-saturation telemetry; the
+        reference's dynamically-sized cloud never truncates)."""
+        out_xyz, out_int, n, dropped = PointCloud.pack_host(
+            xyz, intensity, capacity)
         return PointCloud(
             xyz=jnp.asarray(out_xyz),
             intensity=jnp.asarray(out_int),
@@ -262,6 +271,159 @@ class Obs:
             has_cloud = cloud.count > 0
         return Obs(image=image, cloud=cloud, has_image=has_image,
                    has_cloud=has_cloud)
+
+    # ------------------------------------------------------------------
+    # Packed wire format: ONE contiguous uint8 buffer per observation.
+    #
+    # The streaming bottleneck on a tunnel/PCIe-attached device is the
+    # number and size of host->device transfers: the naive Obs is SIX
+    # transfers (image, xyz, intensity, count, 2 flags) of ~4.7 MB
+    # (float32 image). The packed layout is one transfer of
+    # 8 + H*W*3 + P*16 bytes (~1.05 MB at defaults — camera pixels are
+    # rgb8 on the wire in the reference too, cv_bridge "rgb8",
+    # grid_vision_node.cpp:84). Layout (little-endian):
+    #   [0:4)  int32  count        [4] u8 has_image   [5] u8 has_cloud
+    #   [6:8)  pad
+    #   [8 : 8+H*W*3)              image rgb8
+    #   [.. : ..+P*12)             xyz float32 (sentinel-padded)
+    #   [.. : ..+P*4)              intensity float32
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _wire_sizes(cfg: GridVisionConfig):
+        h, w, p = (cfg.camera_image_height, cfg.camera_image_width,
+                   cfg.max_points)
+        img = (h * w * 3 if cfg.wire_image_codec == "rgb8"
+               else h * w + 2 * (h // 2) * (w // 2))      # yuv420
+        cloud = (p * 16 if cfg.wire_cloud_dtype == "float32"
+                 else p * 7)                               # f16 xyz + u8 i
+        return img, cloud
+
+    @staticmethod
+    def packed_nbytes(cfg: GridVisionConfig) -> int:
+        img, cloud = Obs._wire_sizes(cfg)
+        return 8 + img + cloud
+
+    # f16 can't hold the 1e8 pad sentinel; padded rows are rewritten from
+    # `count` on unpack, so the wire value only needs to be finite.
+    _F16_PAD = 60000.0
+
+    @staticmethod
+    def pack_bytes(image_u8: np.ndarray, xyz: np.ndarray,
+                   intensity: np.ndarray, count: int, has_image: bool,
+                   has_cloud: bool, cfg: GridVisionConfig) -> np.ndarray:
+        """Host-side pack (numpy). image_u8: (H, W, 3) uint8; xyz/
+        intensity already fixed-capacity sentinel-padded float32 arrays
+        (PointCloud.pack_numpy / native.pack_cloud output)."""
+        h, w = cfg.camera_image_height, cfg.camera_image_width
+        p = cfg.max_points
+        img_n, _ = Obs._wire_sizes(cfg)
+        buf = np.empty(Obs.packed_nbytes(cfg), np.uint8)
+        buf[0:4].view(np.int32)[0] = count
+        buf[4] = 1 if has_image else 0
+        buf[5] = 1 if has_cloud else 0
+        buf[6:8] = 0
+        o = 8
+        img = np.ascontiguousarray(image_u8, np.uint8)
+        if cfg.wire_image_codec == "rgb8":
+            buf[o:o + img_n] = img.reshape(-1)
+        else:
+            y, u, v = rgb_to_yuv420(img)
+            buf[o:o + h * w] = y.reshape(-1)
+            buf[o + h * w:o + h * w + u.size] = u.reshape(-1)
+            buf[o + h * w + u.size:o + img_n] = v.reshape(-1)
+        o += img_n
+        xyz = np.ascontiguousarray(xyz, np.float32)
+        inten = np.ascontiguousarray(intensity, np.float32)
+        if cfg.wire_cloud_dtype == "float32":
+            buf[o:o + p * 12].view(np.float32)[:] = xyz.reshape(-1)
+            o += p * 12
+            buf[o:o + p * 4].view(np.float32)[:] = inten.reshape(-1)
+        else:
+            x16 = np.clip(xyz, -Obs._F16_PAD, Obs._F16_PAD
+                          ).astype(np.float16)
+            buf[o:o + p * 6].view(np.float16)[:] = x16.reshape(-1)
+            o += p * 6
+            buf[o:o + p] = np.clip(inten, 0, 255).astype(np.uint8)
+        return buf
+
+    @staticmethod
+    def unpack(buf: jnp.ndarray, cfg: GridVisionConfig) -> "Obs":
+        """Device-side unpack (pure jnp; call inside jit). With the rgb8
+        codec the image stays uint8 — every consumer casts to the compute
+        dtype on first touch, so no f32 copy is ever materialized in HBM;
+        yuv420 decodes to float32 RGB (one fused linear pass)."""
+        h, w = cfg.camera_image_height, cfg.camera_image_width
+        p = cfg.max_points
+        img_n, _ = Obs._wire_sizes(cfg)
+        count = jax.lax.bitcast_convert_type(buf[0:4], jnp.int32)
+        has_image = buf[4] > 0
+        has_cloud = buf[5] > 0
+        o = 8
+        if cfg.wire_image_codec == "rgb8":
+            image = buf[o:o + h * w * 3].reshape(h, w, 3)
+        else:
+            y = buf[o:o + h * w].reshape(h, w)
+            cn = (h // 2) * (w // 2)
+            u = buf[o + h * w:o + h * w + cn].reshape(h // 2, w // 2)
+            v = buf[o + h * w + cn:o + img_n].reshape(h // 2, w // 2)
+            image = yuv420_to_rgb(y, u, v)
+        o += img_n
+        if cfg.wire_cloud_dtype == "float32":
+            xyz = jax.lax.bitcast_convert_type(
+                buf[o:o + p * 12].reshape(p, 3, 4), jnp.float32)
+            o += p * 12
+            intensity = jax.lax.bitcast_convert_type(
+                buf[o:o + p * 4].reshape(p, 4), jnp.float32)
+        else:
+            x16 = jax.lax.bitcast_convert_type(
+                buf[o:o + p * 6].reshape(p, 3, 2), jnp.float16)
+            valid = (jnp.arange(p) < count)[:, None]
+            xyz = jnp.where(valid, x16.astype(jnp.float32),
+                            PointCloud.PAD_SENTINEL)
+            o += p * 6
+            intensity = buf[o:o + p].astype(jnp.float32)
+        return Obs(image=image,
+                   cloud=PointCloud(xyz=xyz, intensity=intensity,
+                                    count=count),
+                   has_image=has_image, has_cloud=has_cloud)
+
+
+_YUV_M = np.array([[0.299, 0.587, 0.114],
+                   [-0.168736, -0.331264, 0.5],
+                   [0.5, -0.418688, -0.081312]], np.float32).T
+
+
+def rgb_to_yuv420(rgb: np.ndarray):
+    """Host-side full-range BT.601 4:2:0 encode (what camera links carry
+    natively). Returns (Y (H,W), U (H/2,W/2), V (H/2,W/2)) uint8.
+
+    Chroma is computed AFTER the 2x2 box subsample: the RGB->CbCr map is
+    affine, so it commutes with the block mean — identical result, 4x
+    less chroma math (this encode sits on the streaming ingest hot path,
+    runtime/stream.packed_from_scene)."""
+    rgbf = rgb.astype(np.float32)
+    y = rgbf @ _YUV_M[:, 0]
+    # strided adds, not reshape+mean: the 6-d reduction materializes a
+    # strided temp and runs ~6x slower than four contiguous adds
+    sub = (rgbf[0::2, 0::2] + rgbf[0::2, 1::2]
+           + rgbf[1::2, 0::2] + rgbf[1::2, 1::2]) * 0.25
+    cbcr = sub @ _YUV_M[:, 1:] + 128.0
+    to8 = lambda a: np.clip(a + 0.5, 0, 255).astype(np.uint8)
+    return to8(y), to8(cbcr[..., 0]), to8(cbcr[..., 1])
+
+
+def yuv420_to_rgb(y: jnp.ndarray, u: jnp.ndarray,
+                  v: jnp.ndarray) -> jnp.ndarray:
+    """Device-side decode (jnp): nearest-neighbor chroma upsample + the
+    inverse BT.601 full-range matrix. Output float32 RGB in [0, 255]."""
+    yf = y.astype(jnp.float32)
+    uf = jnp.repeat(jnp.repeat(u.astype(jnp.float32) - 128.0, 2, 0), 2, 1)
+    vf = jnp.repeat(jnp.repeat(v.astype(jnp.float32) - 128.0, 2, 0), 2, 1)
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    b = yf + 1.772 * uf
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
 
 
 @pytree_dataclass

@@ -1,0 +1,180 @@
+"""Packed-wire observation path: pack/unpack roundtrip and bit-equality
+of the single-transfer streaming step vs the typed-Obs step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grid_vision_tpu import pipeline
+from grid_vision_tpu.config import GridVisionConfig
+from grid_vision_tpu.demo import default_extrinsics
+from grid_vision_tpu.io.scene import SyntheticScene
+from grid_vision_tpu.runtime.stream import (obs_from_scene,
+                                            packed_from_scene, replay)
+from grid_vision_tpu.types import Obs, PointCloud
+
+
+def small_cfg():
+    return GridVisionConfig(max_points=512, camera_image_height=96,
+                            camera_image_width=128, fx=64.0, fy=64.0,
+                            cx=64.0, cy=48.0, grid_x=24, grid_y=12,
+                            resolution=0.25)
+
+
+def test_pack_unpack_roundtrip():
+    cfg = small_cfg()
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (96, 128, 3), np.uint8)
+    xyz, inten, n, dropped = PointCloud.pack_host(
+        rng.uniform(-5, 5, (300, 3)).astype(np.float32), None,
+        cfg.max_points)
+    buf = Obs.pack_bytes(img, xyz, inten, n, True, True, cfg)
+    assert buf.shape == (Obs.packed_nbytes(cfg),)
+    obs = jax.jit(lambda b: Obs.unpack(b, cfg))(jnp.asarray(buf))
+    np.testing.assert_array_equal(np.asarray(obs.image), img)
+    np.testing.assert_array_equal(np.asarray(obs.cloud.xyz), xyz)
+    np.testing.assert_array_equal(np.asarray(obs.cloud.intensity), inten)
+    assert int(obs.cloud.count) == n == 300
+    assert bool(obs.has_image) and bool(obs.has_cloud)
+
+
+def test_pack_unpack_flags():
+    cfg = small_cfg()
+    img = np.zeros((96, 128, 3), np.uint8)
+    xyz = np.full((cfg.max_points, 3), PointCloud.PAD_SENTINEL, np.float32)
+    inten = np.zeros((cfg.max_points,), np.float32)
+    buf = Obs.pack_bytes(img, xyz, inten, 0, False, False, cfg)
+    obs = Obs.unpack(jnp.asarray(buf), cfg)
+    assert not bool(obs.has_image) and not bool(obs.has_cloud)
+    assert int(obs.cloud.count) == 0
+
+
+def test_packed_step_matches_typed_step():
+    """Same scene frame through Engine() (typed f32 Obs) and
+    Engine.call_packed (uint8 wire buffer) -> bit-identical grids.
+    The scene renderer emits integer-valued pixels, so the rgb8 wire
+    format is lossless here."""
+    cfg = small_cfg()
+    eng_a = pipeline.Engine(cfg, extrinsics=default_extrinsics(), seed=0)
+    eng_b = pipeline.Engine(cfg, extrinsics=default_extrinsics(), seed=0)
+    scene = SyntheticScene(cfg, seed=0)
+    scene.add_default_traffic()
+
+    state_a = eng_a.init_state()
+    state_b = eng_b.init_state()
+    for i in range(3):
+        t = i * 0.1
+        obs = obs_from_scene(scene, t, cfg)
+        buf, _dropped = packed_from_scene(scene, t, cfg)
+        state_a, out_a = eng_a(state_a, obs)
+        state_b, out_b = eng_b.call_packed(state_b, jnp.asarray(buf))
+        np.testing.assert_array_equal(np.asarray(state_a.log_odds),
+                                      np.asarray(state_b.log_odds))
+        np.testing.assert_array_equal(np.asarray(out_a.occupancy_i8),
+                                      np.asarray(out_b.occupancy_i8))
+
+
+def test_yuv420_codec_flat_regions_near_exact():
+    from grid_vision_tpu.types import rgb_to_yuv420, yuv420_to_rgb
+    img = np.zeros((32, 48, 3), np.uint8)
+    img[:16] = [96, 96, 96]
+    img[16:] = [220, 60, 50]
+    y, u, v = rgb_to_yuv420(img)
+    back = np.asarray(yuv420_to_rgb(jnp.asarray(y), jnp.asarray(u),
+                                    jnp.asarray(v)))
+    # flat 2x2 blocks -> only rounding error survives
+    assert np.abs(back - img.astype(np.float32)).max() <= 2.0
+
+
+def test_yuv420_codec_luma_preserved():
+    from grid_vision_tpu.types import rgb_to_yuv420, yuv420_to_rgb
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    y, u, v = rgb_to_yuv420(img)
+    back = np.asarray(yuv420_to_rgb(jnp.asarray(y), jnp.asarray(u),
+                                    jnp.asarray(v)))
+    y2 = (0.299 * back[..., 0] + 0.587 * back[..., 1]
+          + 0.114 * back[..., 2])
+    y1 = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+          + 0.114 * img[..., 2])
+    assert np.abs(y1 - y2).mean() < 2.5  # chroma clipping only
+
+
+def _wire_cfg():
+    import dataclasses
+    return dataclasses.replace(small_cfg(), wire_image_codec="yuv420",
+                               wire_cloud_dtype="float16")
+
+
+def test_pack_unpack_wire_mode():
+    cfg = _wire_cfg()
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (96, 128, 3), np.uint8)
+    xyz, inten, n, _ = PointCloud.pack_host(
+        rng.uniform(-40, 60, (300, 3)).astype(np.float32),
+        rng.uniform(0, 200, 300).astype(np.float32), cfg.max_points)
+    buf = Obs.pack_bytes(img, xyz, inten, n, True, True, cfg)
+    assert buf.shape == (Obs.packed_nbytes(cfg),)
+    assert buf.nbytes < Obs.packed_nbytes(small_cfg()) * 0.6
+    obs = jax.jit(lambda b: Obs.unpack(b, cfg))(jnp.asarray(buf))
+    assert int(obs.cloud.count) == n
+    got = np.asarray(obs.cloud.xyz)
+    # valid rows: f16 relative error; padded rows: exact sentinel restored
+    np.testing.assert_allclose(got[:n], xyz[:n], rtol=1e-3, atol=0.05)
+    assert (got[n:] == PointCloud.PAD_SENTINEL).all()
+    np.testing.assert_allclose(np.asarray(obs.cloud.intensity)[:n],
+                               np.clip(inten[:n], 0, 255).astype(np.uint8),
+                               atol=0.5)
+
+
+def test_wire_mode_grid_close_to_lossless():
+    """yuv420 + f16 wire vs lossless wire: occupancy grids agree within
+    one int8 step on >=99% of cells over a replayed scene."""
+    cfg_l = small_cfg()
+    cfg_w = _wire_cfg()
+    eng_l = pipeline.Engine(cfg_l, extrinsics=default_extrinsics(), seed=0)
+    eng_w = pipeline.Engine(cfg_w, extrinsics=default_extrinsics(), seed=0)
+    scene = SyntheticScene(cfg_l, seed=0)
+    scene.add_default_traffic()
+    s_l, s_w = eng_l.init_state(), eng_w.init_state()
+    for i in range(3):
+        t = i * 0.1
+        buf_l, _ = packed_from_scene(scene, t, cfg_l)
+        buf_w, _ = packed_from_scene(scene, t, cfg_w)
+        s_l, out_l = eng_l.call_packed(s_l, jnp.asarray(buf_l))
+        s_w, out_w = eng_w.call_packed(s_w, jnp.asarray(buf_w))
+    a = np.asarray(out_l.occupancy_i8, np.int32)
+    b = np.asarray(out_w.occupancy_i8, np.int32)
+    agree = (np.abs(a - b) <= 1).mean()
+    assert agree >= 0.99, agree
+
+
+def test_replay_packed_runs():
+    cfg = small_cfg()
+    eng = pipeline.Engine(cfg, extrinsics=default_extrinsics(), seed=0)
+    scene = SyntheticScene(cfg, seed=1)
+    scene.add_default_traffic()
+    seen = []
+    res = replay(eng, scene, n_steps=5,
+                 on_step=lambda i, s, o: seen.append(i))
+    assert res.n_steps == 5 and seen == list(range(5))
+    assert np.isfinite(np.asarray(res.final_state.log_odds)).all()
+
+
+def test_replay_chunked_matches_per_frame():
+    """Throughput mode (K frames / dispatch) carries the identical grid
+    state as K per-frame packed steps."""
+    from grid_vision_tpu.runtime.stream import replay_chunked
+    cfg = small_cfg()
+    eng_a = pipeline.Engine(cfg, extrinsics=default_extrinsics(), seed=0)
+    eng_b = pipeline.Engine(cfg, extrinsics=default_extrinsics(), seed=0)
+    scene_a = SyntheticScene(cfg, seed=2)
+    scene_a.add_default_traffic()
+    scene_b = SyntheticScene(cfg, seed=2)
+    scene_b.add_default_traffic()
+    res_a = replay(eng_a, scene_a, n_steps=6)
+    res_b = replay_chunked(eng_b, scene_b, n_steps=6, chunk=3)
+    assert res_b.n_steps == 6
+    np.testing.assert_array_equal(
+        np.asarray(res_a.final_state.log_odds),
+        np.asarray(res_b.final_state.log_odds))
