@@ -12,6 +12,7 @@ to a parameter YAML (launch/grid_vision.launch.xml). The equivalents:
   demo    snapshot-producing demo (see demo.py for flags)
   train   fit the detector / orientation net on-device
   eval    detection quality: COCO-style mAP@0.5 on held-out scenes
+  eval-pose  3D localization error vs scene ground truth
   bench   the headline benchmark (one JSON line)
 
 Examples:
@@ -104,6 +105,9 @@ def main():
     elif cmd == "eval":
         from .train.eval_map import main as eval_main
         eval_main(argv)
+    elif cmd == "eval-pose":
+        from .train.eval_pose import main as eval_pose_main
+        eval_pose_main(argv)
     elif cmd == "demo":
         from .demo import main as demo_main
         demo_main(argv)

@@ -98,6 +98,11 @@ class GridVisionConfig:
                                      # (fixes quirk Q3 when wanted)
     yaw_aware_rasterization: bool = False  # extension: rotated-rectangle
                                      # footprints (fixes quirk Q11)
+    vision_depth_refine: bool = False  # extension: rescale the Deep3DBox
+                                     # location to the kNN median cloud
+                                     # depth (measured: median position
+                                     # error 5.2 m -> cloud-limited;
+                                     # docs/QUALITY.md pose section)
     compute_dtype: str = "float32"   # "bfloat16" for fast conv path
     grid_backend: str = "xla"        # "xla" (einsum rasterizer) or
                                      # "pallas" (fused one-pass kernel;
@@ -171,11 +176,12 @@ class GridVisionConfig:
         if self.max_candidates < self.max_detections:
             raise ValueError("max_candidates must be >= max_detections")
         if self.compat and (self.raycast_free_space or self.class_aware_nms
-                            or self.yaw_aware_rasterization):
+                            or self.yaw_aware_rasterization
+                            or self.vision_depth_refine):
             raise ValueError(
                 "extensions (raycast_free_space / class_aware_nms / "
-                "yaw_aware_rasterization) deviate from reference behavior;"
-                " set compat=False to enable them")
+                "yaw_aware_rasterization / vision_depth_refine) deviate "
+                "from reference behavior; set compat=False to enable them")
         if self.orientation_arch not in ("s2d", "resnet"):
             raise ValueError(
                 f"unknown orientation_arch {self.orientation_arch!r}")

@@ -63,10 +63,13 @@ def main(argv=None):
         print(f"rendering {args.scene_frames} scene frames...", flush=True)
         imgs_u8, stb, stc, stp = build_scene_dataset(
             args.scene_frames, GridVisionConfig(), ycfg)
-        # single upload; uint8 keeps it 4x smaller in HBM
+        # single upload; uint8 keeps it 4x smaller in HBM. MUST be a jit
+        # ARGUMENT, not a closure capture: closure constants are
+        # embedded in the serialized HLO, and a ~240 MB module wedges
+        # tunnel-attached compilation.
         ds = tuple(jnp.asarray(a) for a in (imgs_u8, stb, stc, stp))
 
-        def scene_batch(kk):
+        def scene_batch(ds, kk):
             ki, kb, kn = jax.random.split(kk, 3)
             idx = jax.random.randint(ki, (b_scene,), 0, args.scene_frames)
             raw = ds[0][idx].astype(jnp.float32)
@@ -81,12 +84,12 @@ def main(argv=None):
             return net, ds[1][idx], ds[2][idx], ds[3][idx]
 
     @jax.jit
-    def run_chunk(state, key):
+    def run_chunk(state, key, *ds_args):
         def body(s, kk):
             k1, k2 = jax.random.split(kk)
             batch = make_batch_on_device(k1, b_synth, ycfg)
             if b_scene:
-                sb = scene_batch(k2)
+                sb = scene_batch(ds_args, k2)
                 batch = tuple(jnp.concatenate([a, b])
                               for a, b in zip(batch, sb))
             s2, metrics = step_fn(s, *batch)
@@ -94,10 +97,12 @@ def main(argv=None):
         return jax.lax.scan(body, state,
                             jax.random.split(key, args.scan))
 
+    ds_args = ds if b_scene else ()
     t0 = time.time()
     n_chunks = max(args.steps // args.scan, 1)
     for c in range(n_chunks):
-        state, losses = run_chunk(state, jax.random.PRNGKey(1000 + c))
+        state, losses = run_chunk(state, jax.random.PRNGKey(1000 + c),
+                                  *ds_args)
         losses = np.asarray(losses)
         print(f"steps {c * args.scan}-{(c + 1) * args.scan - 1}: "
               f"loss {losses[0]:.4f} -> {losses[-1]:.4f} "
