@@ -13,6 +13,8 @@ to a parameter YAML (launch/grid_vision.launch.xml). The equivalents:
   train   fit the detector / orientation net on-device
   eval    detection quality: COCO-style mAP@0.5 on held-out scenes
   eval-pose  3D localization error vs scene ground truth
+  serve   fleet server: N rigs' shm mailboxes -> one batched engine ->
+          per-rig viewer sessions (--selftest for synthetic producers)
   bench   the headline benchmark (one JSON line)
 
 Examples:
@@ -108,6 +110,9 @@ def main():
     elif cmd == "eval-pose":
         from .train.eval_pose import main as eval_pose_main
         eval_pose_main(argv)
+    elif cmd == "serve":
+        from .runtime.serve import main as serve_main
+        serve_main(argv)
     elif cmd == "demo":
         from .demo import main as demo_main
         demo_main(argv)

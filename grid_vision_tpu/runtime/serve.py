@@ -1,0 +1,255 @@
+"""Fleet serving: N rigs' sensor mailboxes -> ONE batched device engine
+-> per-rig viewer sessions.
+
+The reference's deployment unit is one ROS node per vehicle
+(src/grid_vision_node.cpp:533-540: single rig, single GPU). The TPU
+deployment shape is the opposite: one process owns the chip and steps a
+whole FLEET of rigs per dispatch (parallel/fleet.Fleet — vmap over a
+rig-sharded mesh, zero per-step collectives), while sensor producers
+(drivers, bridges, simulators — any process) write raw frames into
+per-rig shared-memory mailboxes and viewers attach to per-rig sessions:
+
+    server:    python -m grid_vision_tpu serve --rigs 4 --name fleet
+    producer:  FleetClient("fleet", rig=2, cfg).publish_image(rgb8)
+               ... .publish_cloud(xyz, intensity)
+    viewer:    python -m grid_vision_tpu view --session fleet-r2
+
+Semantics per rig match the single-rig live loop (runtime/live.py):
+latest-wins mailboxes, stale frames reused like the reference's member
+buffers, missing sensors degrade through the Q1 gate (has_image /
+has_cloud False). A slow viewer or absent producer never backpressures
+the fleet step.
+
+`--selftest N` runs N synthetic producer threads in-process (one
+SyntheticScene per rig) — the demo and the test path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GridVisionConfig
+from ..io.scene import SyntheticScene
+from ..parallel.fleet import Fleet
+from ..types import Obs, PointCloud
+from . import native
+from .session import SessionPublisher
+
+IMAGE_CHANNEL = "image"
+CLOUD_CHANNEL = "cloud"
+
+
+def rig_session(name: str, rig: int) -> str:
+    return f"{name}-r{rig}"
+
+
+def _image_box(name: str, rig: int, cfg: GridVisionConfig,
+               create: bool) -> native.ShmMailbox:
+    h, w = cfg.camera_image_height, cfg.camera_image_width
+    return native.ShmMailbox(
+        native.shm_path(rig_session(name, rig), IMAGE_CHANNEL),
+        capacity=h * w * 3, create=create)
+
+
+def _cloud_box(name: str, rig: int, cfg: GridVisionConfig,
+               create: bool) -> native.ShmMailbox:
+    return native.ShmMailbox(
+        native.shm_path(rig_session(name, rig), CLOUD_CHANNEL),
+        capacity=cfg.max_points * 16 * 4, create=create)
+
+
+class FleetClient:
+    """Producer-side handle: publish one rig's sensor frames from any
+    process. Mirrors live.LiveSource's publish API over shm."""
+
+    def __init__(self, name: str, rig: int, cfg: GridVisionConfig):
+        self.cfg = cfg
+        self._img = _image_box(name, rig, cfg, create=False)
+        self._cloud = _cloud_box(name, rig, cfg, create=False)
+
+    def publish_image(self, rgb8: np.ndarray, stamp_ns: int = 0) -> None:
+        self._img.write(
+            np.ascontiguousarray(rgb8, np.uint8).tobytes(), stamp_ns)
+
+    def publish_cloud(self, xyz: np.ndarray,
+                      intensity: Optional[np.ndarray] = None,
+                      stamp_ns: int = 0) -> None:
+        n = xyz.shape[0]
+        blob = np.zeros((n, 4), np.float32)
+        blob[:, :3] = xyz
+        if intensity is not None:
+            blob[:, 3] = intensity
+        self._cloud.write(blob.tobytes(), stamp_ns)
+
+    def close(self) -> None:
+        self._img.close()
+        self._cloud.close()
+
+
+class FleetServer:
+    """Owns the device: polls every rig's mailboxes, steps the fleet in
+    one dispatch, publishes per-rig sessions."""
+
+    def __init__(self, name: str, cfg: GridVisionConfig, n_rigs: int,
+                 publish_every: int = 1, overlay: bool = False,
+                 mesh=None):
+        self.name = name
+        self.cfg = cfg
+        self.n_rigs = n_rigs
+        self.publish_every = publish_every
+        self.fleet = Fleet(cfg, n_rigs, mesh=mesh)
+        self.states = self.fleet.init_states()
+        self._img_boxes = [_image_box(name, r, cfg, create=True)
+                           for r in range(n_rigs)]
+        self._cloud_boxes = [_cloud_box(name, r, cfg, create=True)
+                             for r in range(n_rigs)]
+        self._pubs = [SessionPublisher(rig_session(name, r), cfg,
+                                       overlay=overlay)
+                      for r in range(n_rigs)]
+        self._last_images = [
+            np.zeros((cfg.camera_image_height, cfg.camera_image_width, 3),
+                     np.float32) for _ in range(n_rigs)]
+
+    def poll_batch(self) -> Obs:
+        """Latest-wins read of every rig's mailboxes -> batched host Obs
+        (leading rig axis). Stale frames are reused (reference member-
+        buffer semantics); never-seen sensors gate through Q1."""
+        cfg = self.cfg
+        n = self.n_rigs
+        h, w = cfg.camera_image_height, cfg.camera_image_width
+        images = np.zeros((n, h, w, 3), np.float32)
+        xyz = np.full((n, cfg.max_points, 3), PointCloud.PAD_SENTINEL,
+                      np.float32)
+        inten = np.zeros((n, cfg.max_points), np.float32)
+        counts = np.zeros((n,), np.int32)
+        has_img = np.zeros((n,), bool)
+        has_cloud = np.zeros((n,), bool)
+        for r in range(n):
+            frame = self._img_boxes[r].read()
+            if frame is not None:
+                data, _stamp, _seq = frame
+                self._last_images[r] = np.frombuffer(
+                    data, np.uint8).reshape(h, w, 3).astype(np.float32)
+                has_img[r] = True
+            images[r] = self._last_images[r]
+            cframe = self._cloud_boxes[r].read()
+            if cframe is not None:
+                data, _stamp, _seq = cframe
+                n_pts = len(data) // 16
+                x, i_, c = native.pack_cloud(data, n_pts, 16, 0, 12,
+                                             cfg.max_points)
+                xyz[r], inten[r], counts[r] = x, i_, c
+                has_cloud[r] = c > 0
+        return Obs(
+            image=jnp.asarray(images),
+            cloud=PointCloud(xyz=jnp.asarray(xyz),
+                             intensity=jnp.asarray(inten),
+                             count=jnp.asarray(counts)),
+            has_image=jnp.asarray(has_img),
+            has_cloud=jnp.asarray(has_cloud))
+
+    def step(self, i: int) -> None:
+        obs = self.fleet.shard_obs(self.poll_batch())
+        self.states, outs = self.fleet(self.states, obs)
+        if i % self.publish_every == 0:
+            outs = jax.device_get(outs)
+            for r in range(self.n_rigs):
+                out_r = jax.tree_util.tree_map(lambda a: a[r], outs)
+                self._pubs[r].publish(i, out_r,
+                                      image=self._last_images[r])
+
+    def spin(self, steps: Optional[int] = None, hz: float = 20.0,
+             stop: Optional[threading.Event] = None) -> int:
+        period = 1.0 / hz
+        i = 0
+        t0 = time.perf_counter()
+        while steps is None or i < steps:
+            if stop is not None and stop.is_set():
+                break
+            self.step(i)
+            i += 1
+            sleep = t0 + i * period - time.perf_counter()
+            if sleep > 0:
+                time.sleep(sleep)
+        return i
+
+    def close(self, unlink: bool = True) -> None:
+        for b in self._img_boxes + self._cloud_boxes:
+            b.close()
+        for p in self._pubs:
+            if unlink:
+                p.unlink()
+            p.close()
+
+
+def selftest_producers(name: str, cfg: GridVisionConfig, n_rigs: int,
+                       hz: float, stop: threading.Event) -> List[threading.Thread]:
+    """One synthetic-scene producer thread per rig (the demo/test feed)."""
+
+    def produce(rig: int):
+        scene = SyntheticScene(cfg, seed=rig)
+        scene.add_default_traffic()
+        client = FleetClient(name, rig, cfg)
+        t0 = time.perf_counter()
+        while not stop.is_set():
+            t = time.perf_counter() - t0
+            client.publish_image(
+                np.clip(scene.image_at(t), 0, 255).astype(np.uint8))
+            client.publish_cloud(scene.cloud_at(t))
+            time.sleep(1.0 / hz)
+        client.close()
+
+    threads = [threading.Thread(target=produce, args=(r,), daemon=True)
+               for r in range(n_rigs)]
+    for th in threads:
+        th.start()
+    return threads
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="grid_vision_tpu serve", description=__doc__)
+    ap.add_argument("--name", default="fleet")
+    ap.add_argument("--rigs", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--hz", type=float, default=20.0)
+    ap.add_argument("--publish-every", type=int, default=1)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--selftest", action="store_true",
+                    help="feed every rig from an in-process synthetic "
+                         "scene producer thread")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..config import load_config
+    cfg = (load_config(args.config) if args.config
+           else GridVisionConfig())
+    server = FleetServer(args.name, cfg, args.rigs,
+                         publish_every=args.publish_every)
+    stop = threading.Event()
+    if args.selftest:
+        selftest_producers(args.name, cfg, args.rigs, args.hz, stop)
+    print(f"serving fleet {args.name!r}: {args.rigs} rigs at "
+          f"{args.hz:.0f} Hz (view: python -m grid_vision_tpu view "
+          f"--session {rig_session(args.name, 0)})", flush=True)
+    try:
+        n = server.spin(steps=args.steps, hz=args.hz)
+        print(f"served {n} fleet steps", flush=True)
+    finally:
+        stop.set()
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

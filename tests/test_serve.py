@@ -1,0 +1,75 @@
+"""Fleet server (runtime/serve.py): mailboxes in, batched fleet step,
+per-rig sessions out — including the Q1 gate for a producer-less rig."""
+
+import threading
+import time
+
+import numpy as np
+
+from grid_vision_tpu.config import GridVisionConfig
+from grid_vision_tpu.runtime import native
+from grid_vision_tpu.runtime.serve import (FleetClient, FleetServer,
+                                           rig_session,
+                                           selftest_producers)
+from grid_vision_tpu.runtime.session import GRID_CHANNEL, _decode_grid
+
+
+def _mesh2():
+    import jax
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()[:2]), ("rig",))
+
+
+def small_cfg():
+    return GridVisionConfig(max_points=2048, camera_image_height=96,
+                            camera_image_width=128, fx=64.0, fy=64.0,
+                            cx=64.0, cy=48.0, grid_x=24, grid_y=12,
+                            resolution=0.25)
+
+
+def test_fleet_server_selftest_roundtrip():
+    cfg = small_cfg()
+    name = "gvtest-serve"
+    server = FleetServer(name, cfg, n_rigs=2, mesh=_mesh2())
+    stop = threading.Event()
+    try:
+        selftest_producers(name, cfg, 2, hz=20.0, stop=stop)
+        time.sleep(0.3)   # let producers write first frames
+        server.spin(steps=4, hz=50.0)
+        for r in range(2):
+            box = native.ShmMailbox(
+                native.shm_path(rig_session(name, r), GRID_CHANNEL))
+            frame = box.read()
+            box.close()
+            assert frame is not None, f"rig {r} published no grid"
+            grid, step, _ = _decode_grid(frame[0])
+            assert grid.shape == cfg.grid_size
+            assert step == 3
+            assert (grid >= 0).all() and (grid <= 100).all()
+    finally:
+        stop.set()
+        server.close()
+
+
+def test_fleet_server_q1_gate_without_producer():
+    """A rig nobody feeds must keep its prior grid (Q1: no inputs -> no
+    update, not even decay)."""
+    cfg = small_cfg()
+    name = "gvtest-serve-q1"
+    server = FleetServer(name, cfg, n_rigs=2, mesh=_mesh2())
+    stop = threading.Event()
+    try:
+        # feed ONLY rig 0
+        client = FleetClient(name, 0, cfg)
+        client.publish_image(np.full((96, 128, 3), 120, np.uint8))
+        client.publish_cloud(
+            np.random.default_rng(0).uniform(-5, 5, (500, 3))
+            .astype(np.float32))
+        client.close()
+        server.spin(steps=2, hz=50.0)
+        lo = np.asarray(server.states.log_odds)
+        assert not np.allclose(lo[0], 0.0)     # fed rig updated
+        np.testing.assert_allclose(lo[1], 0.0)  # unfed rig untouched (Q1)
+    finally:
+        stop.set()
+        server.close()
