@@ -93,6 +93,6 @@ def test_shipped_detector_map_floor():
         detection_weights_file="/weights/detector.npz")
     params = weights.load_all(cfg, base_dir=REPO)
     synth = evaluate_detector(params, cfg, n_images=12, source="synth")
-    assert synth.map50 >= 0.60, synth.to_dict()
+    assert synth.map50 >= 0.85, synth.to_dict()
     scene = evaluate_detector(params, cfg, n_images=8, source="scene")
-    assert scene.map50 >= 0.45, scene.to_dict()
+    assert scene.map50 >= 0.65, scene.to_dict()

@@ -161,6 +161,19 @@ def test_replay_packed_runs():
     assert np.isfinite(np.asarray(res.final_state.log_odds)).all()
 
 
+def test_replay_ring_runs():
+    """Ring ingest streams pre-packed frames through the chunked path
+    and carries a finite grid (the bench config-4c path)."""
+    from grid_vision_tpu.runtime.stream import replay_ring
+    cfg = small_cfg()
+    eng = pipeline.Engine(cfg, extrinsics=default_extrinsics(), seed=0)
+    scene = SyntheticScene(cfg, seed=3)
+    scene.add_default_traffic()
+    res = replay_ring(eng, scene, n_steps=8, chunk=4, ring=6)
+    assert res.n_steps == 8
+    assert np.isfinite(np.asarray(res.final_state.log_odds)).all()
+
+
 def test_replay_chunked_matches_per_frame():
     """Throughput mode (K frames / dispatch) carries the identical grid
     state as K per-frame packed steps."""
