@@ -9,10 +9,11 @@ the XLA chain materializes the carve mask, the carved log-odds and the
 decayed grid as separate HBM round trips.
 
 The gather `ranges[cbin]` has no vector-gather primitive on the TPU VPU
-(XLA lowers it to a slow scalar loop); here it is reformulated as a
-chunked bin-match reduction: for each 512-bin chunk, match the tile's
-bin indices against the chunk's iota and accumulate the (exactly one)
-matching range — pure VPU compare/select/reduce work, exact in f32.
+(XLA lowers it through slow scalar paths); here it is factored as
+cbin = hi*64 + lo over the range table reshaped to (64, 64): two
+64-wide one-hot masks per cell (128 compares instead of 4096) and one
+MXU matmul `onehot_hi @ table` followed by a masked lane reduction —
+exact in f32 (each sum touches exactly one table entry plus zeros).
 
 Bit-equality with the XLA path holds because both consume the identical
 `range_profile` + `cell_polar_maps` arrays (computed once in XLA — the
@@ -41,9 +42,9 @@ from ..types import LShapePoses
 from .pallas_grid import _box_index_ranges, _round_up
 from .raycast import cell_polar_maps, range_profile
 
-BLOCK_H = 8     # small: the bin-match temp is (BLOCK_H, W, BIN_CHUNK)
+BLOCK_H = 16    # (BLOCK_H, W, 64) one-hot temps must fit VMEM
 LANE = 128
-BIN_CHUNK = 512
+BIN_SPLIT = 64  # n_bins = BIN_SPLIT * BIN_SPLIT
 
 
 def _carve_grid_kernel(lo_x0_ref, hi_x0_ref, lo_x1_ref, hi_x1_ref,
@@ -60,18 +61,25 @@ def _carve_grid_kernel(lo_x0_ref, hi_x0_ref, lo_x1_ref, hi_x1_ref,
     cbin = cbin_ref[:]                            # (block_h, width) i32
     cr = cr_ref[:]                                # (block_h, width) f32
 
-    def bin_chunk(i, cell_range):
-        base = i * BIN_CHUNK
-        rs = ranges_ref[0, pl.ds(base, BIN_CHUNK)]       # (BIN_CHUNK,)
-        b = (jax.lax.broadcasted_iota(
-            jnp.int32, (block_h, width, BIN_CHUNK), 2) + base)
-        m = cbin[:, :, None] == b
-        return cell_range + jnp.sum(
-            jnp.where(m, rs[None, None, :], 0.0), axis=-1)
-
-    cell_range = jax.lax.fori_loop(
-        0, n_bins // BIN_CHUNK, bin_chunk,
-        jnp.zeros((block_h, width), jnp.float32))
+    # Factored gather: cbin = hi*64 + lo over the (64, 64) range table.
+    # hi = -1 on padded cells -> onehot_hi row is all-zero -> range 0.
+    hi = cbin // BIN_SPLIT
+    lo_i = cbin - hi * BIN_SPLIT
+    lanes = jax.lax.broadcasted_iota(
+        jnp.int32, (block_h, width, BIN_SPLIT), 2)
+    onehot_hi = (hi[:, :, None] == lanes).astype(jnp.float32)
+    onehot_lo = (lo_i[:, :, None] == lanes).astype(jnp.float32)
+    table = ranges_ref[:]                         # (64, 64)
+    # T[h, w, l] = table[hi[h, w], l]  (one MXU matmul)
+    # HIGHEST precision: the multi-pass bf16 decomposition is exact here
+    # because one operand is exactly-representable 0/1 and each output
+    # sums a single table entry plus zeros (verified bit-equal on
+    # hardware against the XLA gather).
+    t = jax.lax.dot_general(
+        onehot_hi, table, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    cell_range = jnp.sum(onehot_lo * t, axis=-1)  # (block_h, width)
 
     carve = ((cr < cell_range - margin) & (cell_range > 0.0)).astype(
         jnp.float32)
@@ -127,6 +135,9 @@ def fused_carve_update(log_odds: jnp.ndarray, poses: LShapePoses,
     wp = _round_up(w, LANE)
     n_boxes = poses.capacity
     n_bins = ranges.shape[0]
+    if n_bins != BIN_SPLIT * BIN_SPLIT:
+        raise ValueError(f"fused kernel needs n_bins == "
+                         f"{BIN_SPLIT * BIN_SPLIT}, got {n_bins}")
 
     lo_x0, hi_x0, lo_x1, hi_x1 = _box_index_ranges(poses, cfg)
     # pad: cbin=-1 never matches a bin -> padded cells never carve
@@ -149,7 +160,7 @@ def fused_carve_update(log_odds: jnp.ndarray, poses: LShapePoses,
         num_scalar_prefetch=4,
         grid=(hp // BLOCK_H,),
         in_specs=[
-            pl.BlockSpec((1, n_bins), lambda i, *_: (0, 0),
+            pl.BlockSpec((BIN_SPLIT, BIN_SPLIT), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             tile_spec,
             tile_spec,
@@ -165,5 +176,6 @@ def fused_carve_update(log_odds: jnp.ndarray, poses: LShapePoses,
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(lo_x0, hi_x0, lo_x1, hi_x1, ranges[None, :], cbin_p, cr_p, padded)
+    )(lo_x0, hi_x0, lo_x1, hi_x1,
+      ranges.reshape(BIN_SPLIT, BIN_SPLIT), cbin_p, cr_p, padded)
     return lo_out[:h, :w], occ_out[:h, :w]
