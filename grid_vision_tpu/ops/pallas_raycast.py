@@ -22,6 +22,14 @@ and replicate the same f32 op order; tests/test_pallas_raycast.py
 asserts it cell-for-cell, like tests/test_pallas_grid.py does for the
 hit-only kernel.
 
+Known limitation: under `jax.vmap` (a batched rig fleet) the lifted
+kernel's grid gains a sequential rig dimension and measured
+pathologically slow on this machine's tunnel-attached chip — keep the
+XLA chain for vmapped fleets (pipeline dispatches the fused kernel only
+through grid_backend="pallas", and the fleet bench runs compat mode
+where carving is off anyway); the fused kernel is the single-rig
+serving-path win (0.27 vs 0.67 ms per carve+update, bit-equal).
+
 Reference chain being fused (for parity bookkeeping): decay + per-box
 block += + clamp + sigmoid sweeps of occupancy_grid.cpp:65-105 plus the
 free-space constants it declares but never uses (occupancy_grid.hpp:
