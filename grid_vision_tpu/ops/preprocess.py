@@ -93,6 +93,24 @@ def crop_resize_standardize(image: jnp.ndarray, boxes: Boxes,
     dynamic 2D gathers lower to scalar loops on TPU and measured ~100x
     slower than this MXU formulation (tools/perf_ablate.py, stage d).
     """
+    # In reduced-precision mode the crops are rounded to compute_dtype
+    # BEFORE the statistics (halves the bandwidth of the O(area) stats
+    # passes; stats still accumulate in f32). f32 mode is unchanged.
+    crops = crop_resize(image, boxes, out_size, compute_dtype,
+                        out_dtype=compute_dtype)
+    return _standardize(crops, boxes.valid, out_dtype)
+
+
+def crop_resize(image: jnp.ndarray, boxes: Boxes, out_size: int,
+                compute_dtype=jnp.float32, out_dtype=None) -> jnp.ndarray:
+    """The interpolation-matmul crop WITHOUT standardization.
+
+    Split out so the fleet path can crop per rig (shared-image MXU
+    einsums) but standardize only the budget-compacted crops that
+    actually feed the net — the per-crop mean/var reduce + normalize is
+    O(area) VPU work and was the single largest item in the 128-rig
+    device profile (tools/profile_step.py; standardization is per-crop
+    elementwise, so compacting first is bit-identical on kept crops)."""
     h, w, _ = image.shape
     wy, wx = jax.vmap(
         lambda b: _box_weights(b, h, w, out_size))(boxes.xyxy)
@@ -106,16 +124,17 @@ def crop_resize_standardize(image: jnp.ndarray, boxes: Boxes,
                      preferred_element_type=jnp.float32)
     crops = jnp.einsum("djx,dixc->dijc", wx, tmp.astype(compute_dtype),
                        preferred_element_type=jnp.float32)
-    return _standardize(crops, boxes.valid, out_dtype)
+    return crops.astype(out_dtype) if out_dtype is not None else crops
 
 
 def _standardize(crops: jnp.ndarray, valid: jnp.ndarray,
                  out_dtype=None) -> jnp.ndarray:
     """Per-crop per-channel standardization (quirk Q10); invalid -> 0.
-    Statistics in f32; out_dtype (e.g. bf16) saves bandwidth when the
-    crops are only materialized to feed a bf16 net."""
-    mean = jnp.mean(crops, axis=(1, 2), keepdims=True)
-    var = jnp.mean((crops - mean) ** 2, axis=(1, 2), keepdims=True)
-    crops = (crops - mean) / jnp.maximum(jnp.sqrt(var), 1e-6)
-    out = jnp.where(valid[:, None, None, None], crops, 0.0)
+    Statistics ACCUMULATE in f32 whatever the crop dtype; out_dtype
+    (e.g. bf16) saves bandwidth when the crops feed a bf16 net."""
+    x = crops.astype(jnp.float32)
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
+    x = (x - mean) / jnp.maximum(jnp.sqrt(var), 1e-6)
+    out = jnp.where(valid[:, None, None, None], x, 0.0)
     return out.astype(out_dtype) if out_dtype is not None else out

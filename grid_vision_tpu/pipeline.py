@@ -382,11 +382,18 @@ def _fleet_vision_poses(params, images: jnp.ndarray, boxes_b: Boxes,
     # dynamic-slice loops), while crops are ~300 KB each.
     gdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
               else jnp.float32)
-    crops_b = jax.vmap(
-        lambda im, b: preprocess.crop_resize_standardize(
+    # Crop per rig, standardize AFTER compaction: the per-crop mean/var
+    # normalize is the profile's top VPU item and is per-crop
+    # elementwise, so running it on only the `budget` kept crops is
+    # bit-identical and skips (n_rigs*cap - budget)/(n_rigs*cap) of it.
+    crops_raw = jax.vmap(
+        lambda im, b: preprocess.crop_resize(
             im, b, cfg.network_height, compute_dtype=gdtype,
-            out_dtype=gdtype))(images, dyn_b)          # (R, cap, S, S, 3)
-    crops = crops_b.reshape((n_rigs * cap,) + crops_b.shape[2:])[top_idx]
+            out_dtype=gdtype)
+        )(images, dyn_b)                               # (R, cap, S, S, 3)
+    crops = preprocess._standardize(
+        crops_raw.reshape((n_rigs * cap,) + crops_raw.shape[2:])[top_idx],
+        g_boxes.valid, out_dtype=gdtype)
     ocfg = orientation_net.OrientationConfig(
         input_size=cfg.network_height, width=cfg.orientation_width,
         arch=cfg.orientation_arch, compute_dtype=gdtype)
