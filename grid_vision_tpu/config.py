@@ -104,6 +104,11 @@ class GridVisionConfig:
                                      # error 5.2 m -> cloud-limited;
                                      # docs/QUALITY.md pose section)
     compute_dtype: str = "float32"   # "bfloat16" for fast conv path
+    detector_precision: str = "float"  # "int8" runs the quantized
+                                     # detector (models/yolov4_int8) —
+                                     # a precision knob like
+                                     # compute_dtype/knn_backend: 2x
+                                     # MXU rate, mAP within ~0.02
     grid_backend: str = "xla"        # "xla" (einsum rasterizer) or
                                      # "pallas" (fused one-pass kernel;
                                      # bit-equal, interpret-mode on CPU)
@@ -185,6 +190,9 @@ class GridVisionConfig:
         if self.orientation_arch not in ("s2d", "resnet"):
             raise ValueError(
                 f"unknown orientation_arch {self.orientation_arch!r}")
+        if self.detector_precision not in ("float", "int8"):
+            raise ValueError(
+                f"unknown detector_precision {self.detector_precision!r}")
         if self.wire_image_codec not in ("rgb8", "yuv420"):
             raise ValueError(
                 f"unknown wire_image_codec {self.wire_image_codec!r}")

@@ -88,4 +88,8 @@ def load_all(cfg: GridVisionConfig, base_dir: str = ".",
         else:
             logger.warning("configured %s weights %r not found; "
                            "using random init", key, rel)
+    if cfg.detector_precision == "int8":
+        from . import yolov4_int8
+        params["detector_q"] = yolov4_int8.quantize_detector(
+            params["detector"])
     return params

@@ -55,6 +55,17 @@ from .types import (Boxes, Extrinsics, GridState, LShapePoses, Obs,
                     PointCloud, SaturationStats, StepOutput)
 
 
+def _detector_forward(params, net_in, ycfg, cfg: GridVisionConfig):
+    """Dispatch float vs int8 detector (cfg.detector_precision; the int8
+    twin consumes pre-quantized params["detector_q"], prepared by
+    models.weights.load_all / Engine init)."""
+    if cfg.detector_precision == "int8":
+        from .models import yolov4_int8
+        return yolov4_int8.forward_int8(params["detector_q"], net_in,
+                                        ycfg)
+    return yolov4_tiny.forward(params["detector"], net_in, ycfg)
+
+
 def detect(params: Dict[str, Any], image: jnp.ndarray,
            cfg: GridVisionConfig) -> Boxes:
     """Image (H, W, 3) [0,255] -> padded pixel-space Boxes (conf desc)."""
@@ -66,8 +77,7 @@ def detect(params: Dict[str, Any], image: jnp.ndarray,
         input_size=cfg.resize,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
         else jnp.float32)
-    boxes_norm, confs = yolov4_tiny.forward(
-        params["detector"], net_in[None], ycfg)
+    boxes_norm, confs = _detector_forward(params, net_in[None], ycfg, cfg)
     return extract_boxes(boxes_norm[0], confs[0], cfg)
 
 
@@ -82,8 +92,7 @@ def detect_with_stats(params: Dict[str, Any], image: jnp.ndarray,
         input_size=cfg.resize,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
         else jnp.float32)
-    boxes_norm, confs = yolov4_tiny.forward(
-        params["detector"], net_in[None], ycfg)
+    boxes_norm, confs = _detector_forward(params, net_in[None], ycfg, cfg)
     return extract_boxes(boxes_norm[0], confs[0], cfg, with_overflow=True)
 
 
@@ -101,8 +110,7 @@ def detect_batch(params: Dict[str, Any], images: jnp.ndarray,
             im, cfg.resize, compute_dtype=dtype))(images)
     ycfg = yolov4_tiny.YoloConfig(input_size=cfg.resize,
                                   compute_dtype=dtype)
-    boxes_norm, confs = yolov4_tiny.forward(params["detector"], net_in,
-                                            ycfg)
+    boxes_norm, confs = _detector_forward(params, net_in, ycfg, cfg)
     return jax.vmap(
         lambda b, c: extract_boxes(b, c, cfg, with_overflow=True))(
         boxes_norm, confs)
@@ -470,6 +478,12 @@ class Engine:
         if params is None:
             from .models import weights
             params = weights.load_all(cfg, seed=seed)
+        if (cfg.detector_precision == "int8"
+                and "detector_q" not in params):
+            from .models import yolov4_int8
+            params = dict(params)
+            params["detector_q"] = yolov4_int8.quantize_detector(
+                params["detector"])
         # Pin to device: checkpoint.restore returns host numpy arrays, and
         # passing those into a jitted step re-uploads every weight on
         # EVERY dispatch (measured 3.5x whole-pipeline slowdown through
