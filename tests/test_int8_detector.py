@@ -46,8 +46,8 @@ def test_int8_map_within_float():
     cfg_i = dataclasses.replace(cfg_f, detector_precision="int8")
     params["detector_q"] = yolov4_int8.quantize_detector(
         params["detector"])
-    r_f = evaluate_detector(params, cfg_f, n_images=8, source="synth")
-    r_i = evaluate_detector(params, cfg_i, n_images=8, source="synth")
+    r_f = evaluate_detector(params, cfg_f, n_images=4, source="synth")
+    r_i = evaluate_detector(params, cfg_i, n_images=4, source="synth")
     assert r_i.map50 >= r_f.map50 - 0.03, (r_f.map50, r_i.map50)
 
 
