@@ -15,6 +15,8 @@ to a parameter YAML (launch/grid_vision.launch.xml). The equivalents:
   eval-pose  3D localization error vs scene ground truth
   serve   fleet server: N rigs' shm mailboxes -> one batched engine ->
           per-rig viewer sessions (--selftest for synthetic producers)
+  record  record a packed-wire sensor drive to a .gvr file (the rosbag
+          equivalent); play re-drives the engine from it byte-for-byte
   bench   the headline benchmark (one JSON line)
 
 Examples:
@@ -113,6 +115,39 @@ def main():
     elif cmd == "serve":
         from .runtime.serve import main as serve_main
         serve_main(argv)
+    elif cmd == "record":
+        import argparse
+        ap = argparse.ArgumentParser(prog="grid_vision_tpu record")
+        ap.add_argument("--out", required=True)
+        ap.add_argument("--steps", type=int, default=100)
+        ap.add_argument("--hz", type=float, default=10.0)
+        ap.add_argument("--seed", type=int, default=0)
+        ap.add_argument("--config", default=None)
+        ap.add_argument("--cpu", action="store_true")
+        a = ap.parse_args(argv)
+        if a.cpu:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        from .config import GridVisionConfig, load_config
+        from .runtime.record import record_scene
+        cfg = load_config(a.config) if a.config else GridVisionConfig()
+        n = record_scene(a.out, cfg, a.steps, hz=a.hz, seed=a.seed)
+        print(f"recorded {n} frames -> {a.out}")
+    elif cmd == "play":
+        import argparse
+        ap = argparse.ArgumentParser(prog="grid_vision_tpu play")
+        ap.add_argument("path")
+        ap.add_argument("--chunk", type=int, default=8)
+        ap.add_argument("--session", default=None,
+                        help="publish for `view --session NAME`")
+        ap.add_argument("--cpu", action="store_true")
+        a = ap.parse_args(argv)
+        if a.cpu:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        from .runtime.record import play
+        n, _state = play(a.path, chunk=a.chunk, session=a.session)
+        print(f"played {n} frames from {a.path}")
     elif cmd == "demo":
         from .demo import main as demo_main
         demo_main(argv)
