@@ -45,6 +45,40 @@ def decay_update(log_odds: jnp.ndarray, cfg: GridVisionConfig):
     return _finish(log_odds + cfg.log_odds_decay, cfg)
 
 
+def lshape_hit_counts(poses: LShapePoses,
+                      cfg: GridVisionConfig) -> jnp.ndarray:
+    """(H, W) f32 count of valid pose footprints covering each cell
+    (the einsum rasterization WITHOUT decay/hit-scale/clamp) — the
+    per-rig contribution the multi-rig shared-grid fusion psums over
+    the mesh (parallel/shared_grid.py)."""
+    px = poses.position[:, 0]
+    py = poses.position[:, 1]
+    half_l = poses.length / 2.0
+    half_w = poses.width / 2.0
+    corners = jnp.stack([
+        jnp.stack([px - half_l, py - half_w], axis=-1),
+        jnp.stack([px + half_l, py - half_w], axis=-1),
+        jnp.stack([px + half_l, py + half_w], axis=-1),
+        jnp.stack([px - half_l, py + half_w], axis=-1),
+    ], axis=-2)
+    h, w = cfg.grid_size
+    length = (float(cfg.grid_x), float(cfg.grid_y))
+    idx, corner_ok = grid_index_from_position(
+        corners, cfg.grid_center, length, cfg.resolution)
+    ok = poses.valid & jnp.all(corner_ok, axis=-1)
+    lo = jnp.min(idx, axis=-2)
+    hi = jnp.max(idx, axis=-2)
+    rows = jnp.arange(h, dtype=jnp.int32)
+    cols = jnp.arange(w, dtype=jnp.int32)
+    row_mask = ((rows[None, :] >= lo[:, 0:1])
+                & (rows[None, :] <= hi[:, 0:1])
+                & ok[:, None]).astype(jnp.float32)
+    col_mask = ((cols[None, :] >= lo[:, 1:2])
+                & (cols[None, :] <= hi[:, 1:2])).astype(jnp.float32)
+    return jnp.einsum("dh,dw->hw", row_mask, col_mask,
+                      preferred_element_type=jnp.float32)
+
+
 def _block_increment(log_odds: jnp.ndarray,
                      corners_xy: jnp.ndarray,
                      box_valid: jnp.ndarray,

@@ -1,0 +1,138 @@
+"""Multi-rig SHARED-grid fusion: many sensors, one world occupancy grid.
+
+The reference deploys one node per vehicle, each with a private grid.
+The fleet layer (parallel/fleet.py) keeps that shape (N rigs, N grids,
+zero collectives). This module adds the capability the reference never
+had: N rigs observing the SAME world — a sensor hub, an intersection
+with multiple roadside units, a convoy — fused into ONE shared
+occupancy grid, sharded over an ICI mesh.
+
+SPMD shape (SURVEY §2.2's "optional multi-chip shared-grid variant"):
+rigs are sharded over the `rig` mesh axis; each device runs detection +
+pose estimation for its local rigs, rasterizes their footprint HIT
+COUNTS into a full-size local accumulator (the grid is small — 400 KB —
+so it stays replicated), and a single `lax.psum` over ICI merges the
+fleet's evidence before one decay+hit+clamp+sigmoid update. Per step,
+exactly ONE collective of one grid-sized array crosses the interconnect
+regardless of rig count.
+
+Bayesian semantics: k rigs seeing the same cell contribute k hit
+increments — independent evidence accumulates additively in log-odds,
+which is exactly the multi-sensor fusion rule. With one rig the update
+is bit-identical to the single-rig rasterizer (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import pipeline
+from ..config import GridVisionConfig
+from ..geometry import intrinsic_matrix, transform_points, transform_pose
+from ..ops import rasterize
+from ..types import Extrinsics, LShapePoses, Obs
+from .mesh import rig_mesh
+
+
+def rig_world_poses(params: Dict[str, Any], obs: Obs,
+                    extrinsics: Extrinsics, cfg: GridVisionConfig,
+                    rng: jnp.ndarray) -> LShapePoses:
+    """One rig's dynamic-object poses in the WORLD frame (the rig's
+    camera_to_base here maps into the shared world). Mirrors the pose
+    section of pipeline.fuse; the Q1 gate masks a silent rig's
+    contribution to nothing."""
+    boxes = pipeline.detect(params, obs.image, cfg)
+    boxes = boxes.__class__(xyxy=boxes.xyxy, confidence=boxes.confidence,
+                            label=boxes.label,
+                            valid=boxes.valid & obs.has_image)
+    cloud_cam = transform_points(extrinsics.lidar_to_camera, obs.cloud.xyz)
+    cloud_valid = obs.cloud.mask() & obs.has_cloud
+    K = intrinsic_matrix(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+    if cfg.use_vision_orientation:
+        poses_cam = pipeline._vision_orientation_poses(
+            params, obs.image, boxes, K, cfg)
+    else:
+        poses_cam, _trunc = pipeline._pca_poses(
+            cloud_cam, cloud_valid, boxes, K, rng, cfg)
+    world_pos, world_quat = transform_pose(
+        extrinsics.camera_to_base, poses_cam.position, poses_cam.quat)
+    gate = obs.has_image | obs.has_cloud
+    return LShapePoses(
+        position=world_pos, quat=world_quat, length=poses_cam.length,
+        width=poses_cam.width, height=poses_cam.height,
+        label=poses_cam.label, valid=poses_cam.valid & gate)
+
+
+def shared_grid_step(params: Dict[str, Any], log_odds: jnp.ndarray,
+                     obs_b: Obs, extr_b: Extrinsics, keys: jnp.ndarray,
+                     cfg: GridVisionConfig,
+                     axis_name: Optional[str] = None,
+                     poses_fn=None):
+    """One fused world-grid tick over a (local) batch of rigs.
+
+    obs_b / extr_b / keys carry a leading rig axis. With axis_name set
+    (inside shard_map) the hit counts are psum-merged across the mesh
+    before the single grid update. poses_fn overrides the per-rig pose
+    pipeline (tests inject known poses). Returns (log_odds',
+    occupancy').
+    """
+    fn = poses_fn or rig_world_poses
+
+    def one(obs, extr, key):
+        poses = fn(params, obs, extr, cfg, key)
+        return rasterize.lshape_hit_counts(poses, cfg)
+
+    counts = jnp.sum(jax.vmap(one)(obs_b, extr_b, keys), axis=0)
+    if axis_name is not None:
+        counts = jax.lax.psum(counts, axis_name)
+    log_odds = log_odds + cfg.log_odds_decay + cfg.log_odds_hit * counts
+    return rasterize._finish(log_odds, cfg)
+
+
+class SharedGrid:
+    """N rigs -> one world grid, rigs sharded over the `rig` mesh."""
+
+    def __init__(self, cfg: GridVisionConfig, n_rigs: int,
+                 mesh: Optional[Mesh] = None,
+                 params: Optional[Dict[str, Any]] = None, seed: int = 0,
+                 poses_fn=None):
+        cfg.validate()
+        self.cfg = cfg
+        self.n_rigs = n_rigs
+        self.mesh = mesh or rig_mesh()
+        n_dev = self.mesh.devices.size
+        if n_rigs % n_dev:
+            raise ValueError(f"n_rigs {n_rigs} % devices {n_dev} != 0")
+        engine = pipeline.Engine(cfg, params=params, seed=seed)
+        self.params = engine.params
+
+        try:
+            from jax import shard_map
+        except ImportError:          # older jax
+            from jax.experimental.shard_map import shard_map
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P(), P(), P("rig"), P("rig"), P("rig")),
+            out_specs=(P(), P()))
+        def _step(params, log_odds, obs_b, extr_b, keys):
+            return shared_grid_step(params, log_odds, obs_b, extr_b,
+                                    keys, cfg, axis_name="rig",
+                                    poses_fn=poses_fn)
+
+        self._step = _step
+
+    def init_grid(self) -> jnp.ndarray:
+        h, w = self.cfg.grid_size
+        return jnp.zeros((h, w), jnp.float32)
+
+    def __call__(self, log_odds: jnp.ndarray, obs_b: Obs,
+                 extr_b: Extrinsics, step_key: jnp.ndarray):
+        keys = jax.random.split(step_key, self.n_rigs)
+        return self._step(self.params, log_odds, obs_b, extr_b, keys)
