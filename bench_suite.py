@@ -200,6 +200,11 @@ def main():
         run5, unit_count=args.rigs * 4)
     log(f"config5 {results['fused_frames_per_sec']:.0f} fused frames/s")
 
+    # BASELINE.json tracked metric: every fused frame updates the whole
+    # 500x200 grid (decay + hits + clamp + sigmoid per cell)
+    h, w = cfg.grid_size
+    results["cells_updated_per_sec"] = (
+        results["fused_frames_per_sec"] * h * w)
     results["n_rigs"] = args.rigs
     results["backend"] = jax.default_backend()
     with open(args.out, "w") as f:

@@ -1,0 +1,140 @@
+"""City-scale occupancy grid: SPATIALLY sharded over the device mesh.
+
+The reference grid is one vehicle's 50x20 m local map (500x200 cells,
+400 KB — occupancy_grid.cpp:4-14). A metropolitan deployment wants the
+opposite aspect: ONE persistent world grid covering kilometres, fed by
+many rigs — too large to update comfortably on one chip once the cell
+count reaches the hundreds of millions (a 2x2 km map at 0.1 m is
+4x10^8 cells x 2 layers x f32 = 3.2 GB plus update temporaries).
+
+Sharding shape: the grid's row axis is split over the `x` mesh axis
+(jax.sharding / shard_map), object poses are replicated (they are tiny
+— kilobytes — next to the grid), and every device rasterizes the full
+pose set against ITS row window only. Cell updates are independent, so
+there is NO halo and NO per-step collective at all: a box footprint
+spanning a slab boundary simply rasterizes partially on each of the two
+slabs, which compose exactly. Per-cell math (decay + hit*count + clamp
++ sigmoid) is identical to the local rasterizer (ops/rasterize.py),
+tested bit-equal against it on an unsharded reference.
+
+Combined with parallel/shared_grid.py this completes the scaling story:
+shared_grid scales RIG COUNT into one small grid (one psum);
+city_grid scales GRID AREA across devices (zero collectives).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..geometry import grid_index_from_position
+from ..types import LShapePoses
+
+
+@dataclasses.dataclass(frozen=True)
+class CityGridSpec:
+    """World-grid geometry (grid_map conventions, like GridVisionConfig:
+    x forward in meters, centered at `center`)."""
+    length_x: float = 400.0          # meters
+    length_y: float = 200.0
+    resolution: float = 0.1
+    center: Tuple[float, float] = (0.0, 0.0)
+    log_odds_decay: float = -0.2
+    log_odds_hit: float = 0.85
+    min_log_odds: float = -2.0
+    max_log_odds: float = 3.6
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (int(round(self.length_x / self.resolution)),
+                int(round(self.length_y / self.resolution)))
+
+
+def slab_hit_counts(poses: LShapePoses, spec: CityGridSpec,
+                    row0, slab_h: int) -> jnp.ndarray:
+    """(slab_h, W) footprint cover counts for the global row window
+    [row0, row0 + slab_h) — the windowed twin of
+    rasterize.lshape_hit_counts (same einsum rasterization)."""
+    h, w = spec.shape
+    px = poses.position[:, 0]
+    py = poses.position[:, 1]
+    half_l = poses.length / 2.0
+    half_w = poses.width / 2.0
+    corners = jnp.stack([
+        jnp.stack([px - half_l, py - half_w], axis=-1),
+        jnp.stack([px + half_l, py - half_w], axis=-1),
+        jnp.stack([px + half_l, py + half_w], axis=-1),
+        jnp.stack([px - half_l, py + half_w], axis=-1),
+    ], axis=-2)
+    idx, corner_ok = grid_index_from_position(
+        corners, spec.center, (spec.length_x, spec.length_y),
+        spec.resolution)
+    ok = poses.valid & jnp.all(corner_ok, axis=-1)
+    lo = jnp.min(idx, axis=-2)
+    hi = jnp.max(idx, axis=-2)
+    rows = jnp.arange(slab_h, dtype=jnp.int32) + row0     # global rows
+    cols = jnp.arange(w, dtype=jnp.int32)
+    row_mask = ((rows[None, :] >= lo[:, 0:1])
+                & (rows[None, :] <= hi[:, 0:1])
+                & ok[:, None]).astype(jnp.float32)
+    col_mask = ((cols[None, :] >= lo[:, 1:2])
+                & (cols[None, :] <= hi[:, 1:2])).astype(jnp.float32)
+    return jnp.einsum("dh,dw->hw", row_mask, col_mask,
+                      preferred_element_type=jnp.float32)
+
+
+def city_update(log_odds: jnp.ndarray, poses: LShapePoses,
+                spec: CityGridSpec, row0=0):
+    """decay + hit*count + clamp + sigmoid on one (slab) array."""
+    counts = slab_hit_counts(poses, spec, row0, log_odds.shape[0])
+    lo = log_odds + spec.log_odds_decay + spec.log_odds_hit * counts
+    lo = jnp.clip(lo, spec.min_log_odds, spec.max_log_odds)
+    return lo, 1.0 / (1.0 + jnp.exp(-lo))
+
+
+class CityGrid:
+    """The sharded world grid. Rows split over the mesh's `x` axis."""
+
+    def __init__(self, spec: CityGridSpec, mesh: Optional[Mesh] = None):
+        self.spec = spec
+        if mesh is None:
+            devs = np.array(jax.devices())
+            mesh = Mesh(devs, ("x",))
+        self.mesh = mesh
+        n_dev = mesh.devices.size
+        h, w = spec.shape
+        if h % n_dev:
+            raise ValueError(f"grid rows {h} % devices {n_dev} != 0")
+        self._slab_h = h // n_dev
+        self._sharding = NamedSharding(mesh, P("x", None))
+
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(P("x", None), P()),
+                           out_specs=(P("x", None), P("x", None)))
+        def _update(lo_slab, poses):
+            row0 = jax.lax.axis_index("x") * self._slab_h
+            return city_update(lo_slab, poses, spec, row0)
+
+        self._update = _update
+
+    def init_grid(self) -> jnp.ndarray:
+        return jax.device_put(jnp.zeros(self.spec.shape, jnp.float32),
+                              self._sharding)
+
+    def update(self, log_odds: jnp.ndarray, poses: LShapePoses):
+        """One tick: world-frame poses (replicated; flatten multiple
+        rigs' pose sets with types.tree_stack + reshape before calling)
+        -> (log_odds', occupancy'), both row-sharded."""
+        return self._update(log_odds, poses)
