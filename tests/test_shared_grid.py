@@ -119,3 +119,35 @@ def test_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(lo), np.asarray(ref_lo),
                                atol=1e-6)
     assert np.isfinite(np.asarray(occ)).all()
+
+
+def test_budget_path_matches_per_rig_with_full_budget():
+    """Fleet-compacted orientation inside the shared grid (budget >=
+    rigs*cap) agrees with the per-rig path, end-to-end with real
+    weights and detections."""
+    cfg = GridVisionConfig(
+        detection_weights_file="weights/detector.npz",
+        vision_weights_file="weights/orientation.npz",
+        max_points=2048, compute_dtype="float32")
+    from grid_vision_tpu.io.scene import SyntheticScene
+    from grid_vision_tpu.runtime.stream import obs_from_scene
+    from grid_vision_tpu.types import tree_stack
+    from grid_vision_tpu.models import weights as weights_mod
+
+    params = weights_mod.load_all(cfg, seed=0)
+    obs_list = []
+    for r in range(2):
+        scene = SyntheticScene(cfg, seed=r, n_ground=1500)
+        scene.add_default_traffic()
+        obs_list.append(obs_from_scene(scene, 0.3, cfg))
+    obs_b = tree_stack(obs_list)
+    extr_b = _extr_batch(2)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    lo0 = jnp.zeros(cfg.grid_size)
+    lo_a, _ = shared_grid_step(params, lo0, obs_b, extr_b, keys, cfg)
+    lo_b, _ = shared_grid_step(
+        params, lo0, obs_b, extr_b, keys, cfg,
+        orientation_budget=2 * cfg.max_orientation_batch)
+    a, b = np.asarray(lo_a), np.asarray(lo_b)
+    assert (a != lo0[0, 0]).any() or a.any()   # something rasterized
+    np.testing.assert_allclose(a, b, atol=1e-5)
