@@ -116,6 +116,7 @@ class FleetServer:
         self._last_images = [
             np.zeros((cfg.camera_image_height, cfg.camera_image_width, 3),
                      np.float32) for _ in range(n_rigs)]
+        self.parse_errors = 0
 
     def poll_batch(self) -> Obs:
         """Latest-wins read of every rig's mailboxes -> batched host Obs
@@ -132,21 +133,32 @@ class FleetServer:
         has_img = np.zeros((n,), bool)
         has_cloud = np.zeros((n,), bool)
         for r in range(n):
+            # A malformed producer frame must never kill the server: a
+            # long-lived hub outlives buggy/mismatched publishers. Bad
+            # payloads are dropped (counted) and the rig degrades
+            # through the Q1 gate exactly like a silent sensor.
             frame = self._img_boxes[r].read()
             if frame is not None:
                 data, _stamp, _seq = frame
-                self._last_images[r] = np.frombuffer(
-                    data, np.uint8).reshape(h, w, 3).astype(np.float32)
-                has_img[r] = True
+                if len(data) == h * w * 3:
+                    self._last_images[r] = np.frombuffer(
+                        data, np.uint8).reshape(h, w, 3).astype(
+                            np.float32)
+                    has_img[r] = True
+                else:
+                    self.parse_errors += 1
             images[r] = self._last_images[r]
             cframe = self._cloud_boxes[r].read()
             if cframe is not None:
                 data, _stamp, _seq = cframe
-                n_pts = len(data) // 16
-                x, i_, c = native.pack_cloud(data, n_pts, 16, 0, 12,
-                                             cfg.max_points)
-                xyz[r], inten[r], counts[r] = x, i_, c
-                has_cloud[r] = c > 0
+                if len(data) % 16 == 0 and len(data) > 0:
+                    n_pts = len(data) // 16
+                    x, i_, c = native.pack_cloud(data, n_pts, 16, 0, 12,
+                                                 cfg.max_points)
+                    xyz[r], inten[r], counts[r] = x, i_, c
+                    has_cloud[r] = c > 0
+                else:
+                    self.parse_errors += 1
         return Obs(
             image=jnp.asarray(images),
             cloud=PointCloud(xyz=jnp.asarray(xyz),

@@ -73,3 +73,27 @@ def test_fleet_server_q1_gate_without_producer():
     finally:
         stop.set()
         server.close()
+
+
+def test_fleet_server_survives_garbage_payloads():
+    """A malformed producer frame is dropped (counted), the server keeps
+    stepping, and the rig degrades through the Q1 gate."""
+    cfg = small_cfg()
+    name = "gvtest-serve-garbage"
+    server = FleetServer(name, cfg, n_rigs=2, mesh=_mesh2())
+    try:
+        img_box = native.ShmMailbox(
+            native.shm_path(rig_session(name, 0), "image"))
+        cloud_box = native.ShmMailbox(
+            native.shm_path(rig_session(name, 0), "cloud"))
+        img_box.write(b"\x01\x02\x03")           # wrong size
+        cloud_box.write(b"\x00" * 13)            # not a 16-byte stride
+        img_box.close()
+        cloud_box.close()
+        server.spin(steps=2, hz=50.0)
+        # latest-wins: the same bad frame is re-polled every tick
+        assert server.parse_errors >= 2
+        lo = np.asarray(server.states.log_odds)
+        np.testing.assert_allclose(lo, 0.0)      # Q1: nothing updated
+    finally:
+        server.close()
