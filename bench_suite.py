@@ -73,7 +73,9 @@ def time_chunks(fn, *args, n_warm=1, budget_s=45.0, unit_count=1,
         _ = readback(jax.tree_util.tree_leaves(out)[0])
         dt = time.perf_counter() - t0 - sync
         rates.append(unit_count * count / max(dt, 1e-9))
-        if time.perf_counter() - t_all > budget_s:
+        # never break before 3 windows: a stall in window 0 would
+        # otherwise BE the median (the failure this method rejects)
+        if len(rates) >= 3 and time.perf_counter() - t_all > budget_s:
             break
     return float(np.median(rates))
 

@@ -45,31 +45,30 @@ def decay_update(log_odds: jnp.ndarray, cfg: GridVisionConfig):
     return _finish(log_odds + cfg.log_odds_decay, cfg)
 
 
-def lshape_hit_counts(poses: LShapePoses,
-                      cfg: GridVisionConfig) -> jnp.ndarray:
-    """(H, W) f32 count of valid pose footprints covering each cell
-    (the einsum rasterization WITHOUT decay/hit-scale/clamp) — the
-    per-rig contribution the multi-rig shared-grid fusion psums over
-    the mesh (parallel/shared_grid.py)."""
-    px = poses.position[:, 0]
-    py = poses.position[:, 1]
-    half_l = poses.length / 2.0
-    half_w = poses.width / 2.0
-    corners = jnp.stack([
-        jnp.stack([px - half_l, py - half_w], axis=-1),
-        jnp.stack([px + half_l, py - half_w], axis=-1),
-        jnp.stack([px + half_l, py + half_w], axis=-1),
-        jnp.stack([px - half_l, py + half_w], axis=-1),
-    ], axis=-2)
-    h, w = cfg.grid_size
-    length = (float(cfg.grid_x), float(cfg.grid_y))
+
+def corner_window_counts(corners_xy: jnp.ndarray, box_valid: jnp.ndarray,
+                         center, length, resolution: float,
+                         n_rows: int, n_cols: int,
+                         row0=0) -> jnp.ndarray:
+    """(n_rows, n_cols) f32 count of valid axis-aligned footprint blocks
+    covering each cell of a row window starting at global row `row0`.
+
+    THE single rasterization primitive: the reference's
+    updateGridCellsFast semantics (occupancy_grid.cpp:140-183 — a box is
+    skipped entirely if ANY corner falls off the map, otherwise the full
+    inclusive min..max index block counts) expressed as one rank-1-mask
+    einsum. Shared by lshape_update/_block_increment (hit * counts),
+    lshape_hit_counts (the shared-grid psum contribution), and
+    parallel/city_grid.slab_hit_counts (row-sharded slabs) so the skip
+    quirk and mask construction can never drift apart.
+    """
     idx, corner_ok = grid_index_from_position(
-        corners, cfg.grid_center, length, cfg.resolution)
-    ok = poses.valid & jnp.all(corner_ok, axis=-1)
-    lo = jnp.min(idx, axis=-2)
-    hi = jnp.max(idx, axis=-2)
-    rows = jnp.arange(h, dtype=jnp.int32)
-    cols = jnp.arange(w, dtype=jnp.int32)
+        corners_xy, center, length, resolution)
+    ok = box_valid & jnp.all(corner_ok, axis=-1)           # (D,)
+    lo = jnp.min(idx, axis=-2)                              # (D, 2)
+    hi = jnp.max(idx, axis=-2)                              # (D, 2)
+    rows = jnp.arange(n_rows, dtype=jnp.int32) + row0
+    cols = jnp.arange(n_cols, dtype=jnp.int32)
     row_mask = ((rows[None, :] >= lo[:, 0:1])
                 & (rows[None, :] <= hi[:, 0:1])
                 & ok[:, None]).astype(jnp.float32)
@@ -77,6 +76,34 @@ def lshape_hit_counts(poses: LShapePoses,
                 & (cols[None, :] <= hi[:, 1:2])).astype(jnp.float32)
     return jnp.einsum("dh,dw->hw", row_mask, col_mask,
                       preferred_element_type=jnp.float32)
+
+
+def pose_footprint_corners(poses: LShapePoses) -> jnp.ndarray:
+    """(D, 4, 2) axis-aligned footprint corners from pose centers and
+    length/width in base axes, IGNORING yaw (quirk Q11 —
+    occupancy_grid.cpp:79-90)."""
+    px = poses.position[:, 0]
+    py = poses.position[:, 1]
+    half_l = poses.length / 2.0
+    half_w = poses.width / 2.0
+    return jnp.stack([
+        jnp.stack([px - half_l, py - half_w], axis=-1),
+        jnp.stack([px + half_l, py - half_w], axis=-1),
+        jnp.stack([px + half_l, py + half_w], axis=-1),
+        jnp.stack([px - half_l, py + half_w], axis=-1),
+    ], axis=-2)
+
+
+def lshape_hit_counts(poses: LShapePoses,
+                      cfg: GridVisionConfig) -> jnp.ndarray:
+    """(H, W) f32 count of valid pose footprints covering each cell
+    (the einsum rasterization WITHOUT decay/hit-scale/clamp) — the
+    per-rig contribution the multi-rig shared-grid fusion psums over
+    the mesh (parallel/shared_grid.py)."""
+    h, w = cfg.grid_size
+    return corner_window_counts(
+        pose_footprint_corners(poses), poses.valid, cfg.grid_center,
+        (float(cfg.grid_x), float(cfg.grid_y)), cfg.resolution, h, w)
 
 
 def _block_increment(log_odds: jnp.ndarray,
@@ -93,24 +120,9 @@ def _block_increment(log_odds: jnp.ndarray,
     (inclusive) gets += log_odds_hit.
     """
     h, w = cfg.grid_size
-    length = (float(cfg.grid_x), float(cfg.grid_y))
-    idx, corner_ok = grid_index_from_position(
-        corners_xy, cfg.grid_center, length, cfg.resolution)
-    ok = box_valid & jnp.all(corner_ok, axis=-1)           # (D,)
-    lo = jnp.min(idx, axis=-2)                              # (D, 2)
-    hi = jnp.max(idx, axis=-2)                              # (D, 2)
-
-    rows = jnp.arange(h, dtype=jnp.int32)
-    cols = jnp.arange(w, dtype=jnp.int32)
-    # (D, H) / (D, W) inclusive-range masks, zeroed for skipped boxes.
-    row_mask = ((rows[None, :] >= lo[:, 0:1]) &
-                (rows[None, :] <= hi[:, 0:1]) &
-                ok[:, None]).astype(jnp.float32)
-    col_mask = ((cols[None, :] >= lo[:, 1:2]) &
-                (cols[None, :] <= hi[:, 1:2])).astype(jnp.float32)
-    increment = cfg.log_odds_hit * jnp.einsum(
-        "dh,dw->hw", row_mask, col_mask,
-        preferred_element_type=jnp.float32)
+    increment = cfg.log_odds_hit * corner_window_counts(
+        corners_xy, box_valid, cfg.grid_center,
+        (float(cfg.grid_x), float(cfg.grid_y)), cfg.resolution, h, w)
     return log_odds + increment
 
 
@@ -124,19 +136,8 @@ def lshape_update(log_odds: jnp.ndarray, poses: LShapePoses,
     affects markers, not the grid).
     """
     log_odds = log_odds + cfg.log_odds_decay
-    px = poses.position[:, 0]
-    py = poses.position[:, 1]
-    half_l = poses.length / 2.0
-    half_w = poses.width / 2.0
-    # (D, 4, 2): left_back, left_front, right_front, right_back
-    # (occupancy_grid.cpp:79-90) — order irrelevant after min/max.
-    corners = jnp.stack([
-        jnp.stack([px - half_l, py - half_w], axis=-1),
-        jnp.stack([px + half_l, py - half_w], axis=-1),
-        jnp.stack([px + half_l, py + half_w], axis=-1),
-        jnp.stack([px - half_l, py + half_w], axis=-1),
-    ], axis=-2)
-    log_odds = _block_increment(log_odds, corners, poses.valid, cfg)
+    log_odds = _block_increment(log_odds, pose_footprint_corners(poses),
+                                poses.valid, cfg)
     return _finish(log_odds, cfg)
 
 

@@ -33,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..geometry import grid_index_from_position
 from ..types import LShapePoses
 
 
@@ -59,34 +58,16 @@ class CityGridSpec:
 def slab_hit_counts(poses: LShapePoses, spec: CityGridSpec,
                     row0, slab_h: int) -> jnp.ndarray:
     """(slab_h, W) footprint cover counts for the global row window
-    [row0, row0 + slab_h) — the windowed twin of
-    rasterize.lshape_hit_counts (same einsum rasterization)."""
-    h, w = spec.shape
-    px = poses.position[:, 0]
-    py = poses.position[:, 1]
-    half_l = poses.length / 2.0
-    half_w = poses.width / 2.0
-    corners = jnp.stack([
-        jnp.stack([px - half_l, py - half_w], axis=-1),
-        jnp.stack([px + half_l, py - half_w], axis=-1),
-        jnp.stack([px + half_l, py + half_w], axis=-1),
-        jnp.stack([px - half_l, py + half_w], axis=-1),
-    ], axis=-2)
-    idx, corner_ok = grid_index_from_position(
-        corners, spec.center, (spec.length_x, spec.length_y),
-        spec.resolution)
-    ok = poses.valid & jnp.all(corner_ok, axis=-1)
-    lo = jnp.min(idx, axis=-2)
-    hi = jnp.max(idx, axis=-2)
-    rows = jnp.arange(slab_h, dtype=jnp.int32) + row0     # global rows
-    cols = jnp.arange(w, dtype=jnp.int32)
-    row_mask = ((rows[None, :] >= lo[:, 0:1])
-                & (rows[None, :] <= hi[:, 0:1])
-                & ok[:, None]).astype(jnp.float32)
-    col_mask = ((cols[None, :] >= lo[:, 1:2])
-                & (cols[None, :] <= hi[:, 1:2])).astype(jnp.float32)
-    return jnp.einsum("dh,dw->hw", row_mask, col_mask,
-                      preferred_element_type=jnp.float32)
+    [row0, row0 + slab_h) — rasterize.corner_window_counts with this
+    spec's geometry (one shared rasterization primitive; the off-map
+    skip quirk cannot drift between the local/shared/city paths)."""
+    from ..ops.rasterize import (corner_window_counts,
+                                 pose_footprint_corners)
+    _, w = spec.shape
+    return corner_window_counts(
+        pose_footprint_corners(poses), poses.valid, spec.center,
+        (spec.length_x, spec.length_y), spec.resolution, slab_h, w,
+        row0=row0)
 
 
 def city_update(log_odds: jnp.ndarray, poses: LShapePoses,

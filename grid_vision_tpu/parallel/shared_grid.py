@@ -39,6 +39,19 @@ from ..types import Extrinsics, LShapePoses, Obs
 from .mesh import rig_mesh
 
 
+def _to_world(poses_cam: LShapePoses, extrinsics: Extrinsics,
+              gate: jnp.ndarray) -> LShapePoses:
+    """camera-frame poses -> world frame, masked by the rig's Q1 gate
+    (shared by the per-rig and the budget-compacted paths so the gating
+    rules cannot drift apart)."""
+    pos, quat = transform_pose(
+        extrinsics.camera_to_base, poses_cam.position, poses_cam.quat)
+    return LShapePoses(
+        position=pos, quat=quat, length=poses_cam.length,
+        width=poses_cam.width, height=poses_cam.height,
+        label=poses_cam.label, valid=poses_cam.valid & gate)
+
+
 def rig_world_poses(params: Dict[str, Any], obs: Obs,
                     extrinsics: Extrinsics, cfg: GridVisionConfig,
                     rng: jnp.ndarray) -> LShapePoses:
@@ -59,13 +72,8 @@ def rig_world_poses(params: Dict[str, Any], obs: Obs,
     else:
         poses_cam, _trunc = pipeline._pca_poses(
             cloud_cam, cloud_valid, boxes, K, rng, cfg)
-    world_pos, world_quat = transform_pose(
-        extrinsics.camera_to_base, poses_cam.position, poses_cam.quat)
-    gate = obs.has_image | obs.has_cloud
-    return LShapePoses(
-        position=world_pos, quat=world_quat, length=poses_cam.length,
-        width=poses_cam.width, height=poses_cam.height,
-        label=poses_cam.label, valid=poses_cam.valid & gate)
+    return _to_world(poses_cam, extrinsics,
+                     obs.has_image | obs.has_cloud)
 
 
 def shared_grid_step(params: Dict[str, Any], log_odds: jnp.ndarray,
@@ -83,51 +91,42 @@ def shared_grid_step(params: Dict[str, Any], log_odds: jnp.ndarray,
     vision branch through the fleet-compacted crop batch
     (pipeline._fleet_vision_poses — one net invocation for the shard's
     rigs instead of a padded batch per rig; measured 3x the whole-tick
-    rate at 8 rigs). Returns (log_odds', occupancy').
+    rate at 8 rigs). Returns (log_odds', occupancy', dropped) where
+    dropped counts valid dynamic detections lost to the budget across
+    the whole fleet (0 on the un-budgeted paths) — the saturation
+    telemetry the budget would otherwise hide.
     """
+    dropped = jnp.zeros((), jnp.int32)
     if (poses_fn is None and cfg.use_vision_orientation
             and orientation_budget is not None):
-        from ..geometry import intrinsic_matrix as _K
-
         boxes_b, _ov = pipeline.detect_batch(params, obs_b.image, cfg)
         boxes_b = boxes_b.__class__(
             xyxy=boxes_b.xyxy, confidence=boxes_b.confidence,
             label=boxes_b.label,
             valid=boxes_b.valid & obs_b.has_image[:, None])
-        K = _K(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
-        poses_cam_b, _dropped = pipeline._fleet_vision_poses(
+        K = intrinsic_matrix(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+        poses_cam_b, dropped_b = pipeline._fleet_vision_poses(
             params, obs_b.image, boxes_b, K, cfg, orientation_budget)
-
-        def to_world(poses_cam, extr, gate):
-            pos, quat = transform_pose(
-                extr.camera_to_base, poses_cam.position, poses_cam.quat)
-            return LShapePoses(
-                position=pos, quat=quat, length=poses_cam.length,
-                width=poses_cam.width, height=poses_cam.height,
-                label=poses_cam.label, valid=poses_cam.valid & gate)
-
+        dropped = jnp.sum(dropped_b).astype(jnp.int32)
         gate_b = obs_b.has_image | obs_b.has_cloud
-        poses_b = jax.vmap(to_world)(poses_cam_b, extr_b, gate_b)
+        poses_b = jax.vmap(_to_world)(poses_cam_b, extr_b, gate_b)
         counts = jnp.sum(jax.vmap(
             lambda p: rasterize.lshape_hit_counts(p, cfg))(poses_b),
             axis=0)
-        if axis_name is not None:
-            counts = jax.lax.psum(counts, axis_name)
-        log_odds = (log_odds + cfg.log_odds_decay
-                    + cfg.log_odds_hit * counts)
-        return rasterize._finish(log_odds, cfg)
+    else:
+        fn = poses_fn or rig_world_poses
 
-    fn = poses_fn or rig_world_poses
+        def one(obs, extr, key):
+            poses = fn(params, obs, extr, cfg, key)
+            return rasterize.lshape_hit_counts(poses, cfg)
 
-    def one(obs, extr, key):
-        poses = fn(params, obs, extr, cfg, key)
-        return rasterize.lshape_hit_counts(poses, cfg)
-
-    counts = jnp.sum(jax.vmap(one)(obs_b, extr_b, keys), axis=0)
+        counts = jnp.sum(jax.vmap(one)(obs_b, extr_b, keys), axis=0)
     if axis_name is not None:
         counts = jax.lax.psum(counts, axis_name)
+        dropped = jax.lax.psum(dropped, axis_name)
     log_odds = log_odds + cfg.log_odds_decay + cfg.log_odds_hit * counts
-    return rasterize._finish(log_odds, cfg)
+    lo, occ = rasterize._finish(log_odds, cfg)
+    return lo, occ, dropped
 
 
 class SharedGrid:
@@ -138,6 +137,18 @@ class SharedGrid:
                  params: Optional[Dict[str, Any]] = None, seed: int = 0,
                  poses_fn=None, orientation_budget: Optional[int] = None):
         cfg.validate()
+        # extension knobs this fused path does not implement must fail
+        # loudly, not silently diverge from pipeline.fuse semantics
+        unsupported = [k for k, v in (
+            ("yaw_aware_rasterization", cfg.yaw_aware_rasterization),
+            ("raycast_free_space", cfg.raycast_free_space),
+            ("vision_depth_refine", cfg.vision_depth_refine),
+            ("grid_backend=pallas", cfg.grid_backend == "pallas"),
+        ) if v]
+        if unsupported:
+            raise ValueError(
+                f"SharedGrid does not support {unsupported}; use the "
+                "per-rig fleet for those extensions")
         self.cfg = cfg
         self.n_rigs = n_rigs
         self.mesh = mesh or rig_mesh()
@@ -156,7 +167,7 @@ class SharedGrid:
         @functools.partial(
             shard_map, mesh=self.mesh,
             in_specs=(P(), P(), P("rig"), P("rig"), P("rig")),
-            out_specs=(P(), P()))
+            out_specs=(P(), P(), P()))
         def _step(params, log_odds, obs_b, extr_b, keys):
             return shared_grid_step(params, log_odds, obs_b, extr_b,
                                     keys, cfg, axis_name="rig",
@@ -171,5 +182,7 @@ class SharedGrid:
 
     def __call__(self, log_odds: jnp.ndarray, obs_b: Obs,
                  extr_b: Extrinsics, step_key: jnp.ndarray):
+        """-> (log_odds', occupancy', dropped) — dropped is the fleet-
+        wide count of detections lost to orientation_budget this tick."""
         keys = jax.random.split(step_key, self.n_rigs)
         return self._step(self.params, log_odds, obs_b, extr_b, keys)

@@ -87,7 +87,9 @@ class RecordReader:
             raise ValueError(f"{path}: not a GVR recording")
         (hlen,) = _LEN.unpack(self._f.read(4))
         header = json.loads(self._f.read(hlen))
-        self.cfg = GridVisionConfig(**header["config"])
+        # validate at open time: a hand-edited/corrupt header should be
+        # a clean ValueError here, not a cryptic unpack failure later
+        self.cfg = GridVisionConfig(**header["config"]).validate()
         self.frame_nbytes = int(header["frame_nbytes"])
         if self.frame_nbytes != Obs.packed_nbytes(self.cfg):
             raise ValueError("frame size does not match recorded config")

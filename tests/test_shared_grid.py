@@ -79,7 +79,7 @@ def test_multi_rig_evidence_accumulates():
     n = 2
     lo0 = jnp.zeros(CFG.grid_size)
     keys = jax.random.split(jax.random.PRNGKey(0), n)
-    lo, occ = shared_grid_step(
+    lo, occ, _d = shared_grid_step(
         {}, lo0, _obs_batch(n), _extr_batch(n), keys, CFG,
         poses_fn=_fake_poses_factory(n))
     lo = np.asarray(lo)
@@ -97,7 +97,7 @@ def test_single_rig_matches_plain_rasterizer():
         np.random.default_rng(0).normal(0, 1, CFG.grid_size)
         .astype(np.float32))
     keys = jax.random.split(jax.random.PRNGKey(0), 1)
-    lo, occ = shared_grid_step(
+    lo, occ, _d = shared_grid_step(
         {}, lo0, _obs_batch(1), _extr_batch(1), keys, CFG,
         poses_fn=_fake_poses_factory(1))
     ref_lo, ref_occ = rasterize.lshape_update(lo0, RIG_POSES[0], CFG)
@@ -111,9 +111,9 @@ def test_sharded_matches_unsharded():
     sg = SharedGrid(CFG, n_rigs=n, poses_fn=_fake_poses_factory(n),
                     params={})
     obs_b, extr_b = _obs_batch(n), _extr_batch(n)
-    lo, occ = sg(sg.init_grid(), obs_b, extr_b, jax.random.PRNGKey(0))
+    lo, occ, _d = sg(sg.init_grid(), obs_b, extr_b, jax.random.PRNGKey(0))
     keys = jax.random.split(jax.random.PRNGKey(0), n)
-    ref_lo, ref_occ = shared_grid_step(
+    ref_lo, ref_occ, _d2 = shared_grid_step(
         {}, sg.init_grid(), obs_b, extr_b, keys, CFG,
         poses_fn=_fake_poses_factory(n))
     np.testing.assert_allclose(np.asarray(lo), np.asarray(ref_lo),
@@ -144,8 +144,9 @@ def test_budget_path_matches_per_rig_with_full_budget():
     extr_b = _extr_batch(2)
     keys = jax.random.split(jax.random.PRNGKey(0), 2)
     lo0 = jnp.zeros(cfg.grid_size)
-    lo_a, _ = shared_grid_step(params, lo0, obs_b, extr_b, keys, cfg)
-    lo_b, _ = shared_grid_step(
+    lo_a, _, _da = shared_grid_step(params, lo0, obs_b, extr_b, keys,
+                                    cfg)
+    lo_b, _, db = shared_grid_step(
         params, lo0, obs_b, extr_b, keys, cfg,
         orientation_budget=2 * cfg.max_orientation_batch)
     a, b = np.asarray(lo_a), np.asarray(lo_b)

@@ -43,7 +43,8 @@ def test_http_view_serves_index_and_grid_png():
     pub.publish(0, _fake_output(cfg))
 
     from grid_vision_tpu.runtime import viewer
-    port = 18431
+    import os
+    port = 19000 + os.getpid() % 10000
     th = threading.Thread(
         target=viewer.http_view,
         args=(session, port),
