@@ -99,20 +99,40 @@ class FleetServer:
 
     def __init__(self, name: str, cfg: GridVisionConfig, n_rigs: int,
                  publish_every: int = 1, overlay: bool = False,
-                 mesh=None):
+                 mesh=None, shared: bool = False,
+                 rig_extrinsics=None):
+        """shared=True runs as a FUSION HUB: all rigs' evidence merges
+        into ONE world grid (parallel/shared_grid.py; rig_extrinsics is
+        an optional list of per-rig Extrinsics placing each sensor in
+        the world frame) published as session "<name>-world"; otherwise
+        each rig keeps its own grid and session (the fleet shape)."""
         self.name = name
         self.cfg = cfg
         self.n_rigs = n_rigs
         self.publish_every = publish_every
-        self.fleet = Fleet(cfg, n_rigs, mesh=mesh)
-        self.states = self.fleet.init_states()
+        self.shared = shared
+        if shared:
+            from ..parallel.shared_grid import SharedGrid
+            from ..types import Extrinsics
+            self.grid = SharedGrid(cfg, n_rigs, mesh=mesh)
+            self.world_lo = self.grid.init_grid()
+            ext = (rig_extrinsics
+                   or [Extrinsics.identity()] * n_rigs)
+            self._extr_b = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *ext)
+            self._pubs = [SessionPublisher(f"{name}-world", cfg,
+                                           overlay=False)]
+            self.dropped_total = 0
+        else:
+            self.fleet = Fleet(cfg, n_rigs, mesh=mesh)
+            self.states = self.fleet.init_states()
+            self._pubs = [SessionPublisher(rig_session(name, r), cfg,
+                                           overlay=overlay)
+                          for r in range(n_rigs)]
         self._img_boxes = [_image_box(name, r, cfg, create=True)
                            for r in range(n_rigs)]
         self._cloud_boxes = [_cloud_box(name, r, cfg, create=True)
                              for r in range(n_rigs)]
-        self._pubs = [SessionPublisher(rig_session(name, r), cfg,
-                                       overlay=overlay)
-                      for r in range(n_rigs)]
         self._last_images = [
             np.zeros((cfg.camera_image_height, cfg.camera_image_width, 3),
                      np.float32) for _ in range(n_rigs)]
@@ -168,6 +188,16 @@ class FleetServer:
             has_cloud=jnp.asarray(has_cloud))
 
     def step(self, i: int) -> None:
+        if self.shared:
+            obs = self.poll_batch()
+            self.world_lo, occ, dropped = self.grid(
+                self.world_lo, obs, self._extr_b,
+                jax.random.PRNGKey(i))
+            self.dropped_total += int(jax.device_get(dropped))
+            if i % self.publish_every == 0:
+                self._pubs[0].publish(i, _grid_only_output(
+                    occ, self.cfg))
+            return
         obs = self.fleet.shard_obs(self.poll_batch())
         self.states, outs = self.fleet(self.states, obs)
         if i % self.publish_every == 0:
@@ -199,6 +229,24 @@ class FleetServer:
             if unlink:
                 p.unlink()
             p.close()
+
+
+
+def _grid_only_output(occupancy, cfg: GridVisionConfig):
+    """Minimal StepOutput carrying just the fused world grid (the
+    shared session has no single-rig boxes/poses to publish)."""
+    from ..ops.rasterize import export_occupancy_i8
+    from ..types import (Boxes, LShapePoses, SaturationStats, StepOutput)
+    zero = jnp.zeros((), jnp.int32)
+    return StepOutput(
+        boxes=Boxes.empty(cfg.max_detections),
+        poses=LShapePoses.empty(cfg.max_orientation_batch),
+        static_points=jnp.zeros((cfg.max_detections, 3)),
+        static_boxes=Boxes.empty(cfg.max_detections),
+        occupancy_i8=export_occupancy_i8(occupancy),
+        saturation=SaturationStats(
+            prenms_overflow=zero, orientation_clamped=zero,
+            box_cloud_truncated=zero, orientation_dropped=zero))
 
 
 def selftest_producers(name: str, cfg: GridVisionConfig, n_rigs: int,
@@ -239,6 +287,9 @@ def main(argv=None):
     ap.add_argument("--selftest", action="store_true",
                     help="feed every rig from an in-process synthetic "
                          "scene producer thread")
+    ap.add_argument("--shared", action="store_true",
+                    help="fusion-hub mode: all rigs merge into ONE "
+                         "world grid (view --session NAME-world)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -248,13 +299,17 @@ def main(argv=None):
     cfg = (load_config(args.config) if args.config
            else GridVisionConfig())
     server = FleetServer(args.name, cfg, args.rigs,
-                         publish_every=args.publish_every)
+                         publish_every=args.publish_every,
+                         shared=args.shared)
     stop = threading.Event()
     if args.selftest:
         selftest_producers(args.name, cfg, args.rigs, args.hz, stop)
-    print(f"serving fleet {args.name!r}: {args.rigs} rigs at "
-          f"{args.hz:.0f} Hz (view: python -m grid_vision_tpu view "
-          f"--session {rig_session(args.name, 0)})", flush=True)
+    view_session = (f"{args.name}-world" if args.shared
+                    else rig_session(args.name, 0))
+    print(f"serving {'fusion hub' if args.shared else 'fleet'} "
+          f"{args.name!r}: {args.rigs} rigs at {args.hz:.0f} Hz "
+          f"(view: python -m grid_vision_tpu view "
+          f"--session {view_session})", flush=True)
     try:
         n = server.spin(steps=args.steps, hz=args.hz)
         print(f"served {n} fleet steps", flush=True)

@@ -97,3 +97,30 @@ def test_fleet_server_survives_garbage_payloads():
         np.testing.assert_allclose(lo, 0.0)      # Q1: nothing updated
     finally:
         server.close()
+
+
+def test_fusion_hub_mode_publishes_world_grid():
+    """shared=True: all rigs fuse into one world grid published as
+    <name>-world; evidence from two rigs accumulates in one map."""
+    import jax
+    cfg = small_cfg()
+    name = "gvtest-hub"
+    server = FleetServer(name, cfg, n_rigs=2, mesh=_mesh2(), shared=True)
+    stop = threading.Event()
+    try:
+        selftest_producers(name, cfg, 2, hz=20.0, stop=stop)
+        time.sleep(0.3)
+        server.spin(steps=3, hz=50.0)
+        box = native.ShmMailbox(
+            native.shm_path(f"{name}-world", GRID_CHANNEL))
+        frame = box.read()
+        box.close()
+        assert frame is not None, "no world grid published"
+        grid, step, _ = _decode_grid(frame[0])
+        assert grid.shape == cfg.grid_size
+        assert step == 2
+        lo = np.asarray(server.world_lo)
+        assert np.isfinite(lo).all()
+    finally:
+        stop.set()
+        server.close()
