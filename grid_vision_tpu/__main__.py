@@ -48,6 +48,10 @@ def _run(argv):
     ap.add_argument("--publish", default=None, metavar="SESSION",
                     help="publish grid/markers/overlay for "
                          "`grid_vision_tpu view --session SESSION`")
+    ap.add_argument("--timings", action="store_true",
+                    help="log per-stage latencies each tick (the "
+                         "reference's detection/orientation timers; "
+                         "3-dispatch observability mode)")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
@@ -78,6 +82,20 @@ def _run(argv):
         logger.info("publishing session %r (attach with: python -m "
                     "grid_vision_tpu view --session %s)",
                     args.publish, args.publish)
+    if args.timings:
+        from .runtime.stream import obs_from_scene
+        from .runtime.timing import TimedEngine
+        timed = TimedEngine(eng)
+        state = eng.init_state()
+        for i in range(args.steps):
+            obs = obs_from_scene(scene, i / args.hz, cfg)
+            state, out, times = timed.step(state, obs)
+            logger.info("step %d: %s", i, times)
+            if pub is not None:
+                pub.publish(i, out, image=scene.image_at(i / args.hz))
+        if pub is not None:
+            pub.close()
+        return
     res = replay(eng, scene, n_steps=args.steps, hz=args.hz,
                  realtime=args.realtime, on_step=on_step)
     if pub is not None:
