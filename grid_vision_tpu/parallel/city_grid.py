@@ -119,3 +119,64 @@ class CityGrid:
         rigs' pose sets with types.tree_stack + reshape before calling)
         -> (log_odds', occupancy'), both row-sharded."""
         return self._update(log_odds, poses)
+
+
+class CityFusion:
+    """End-to-end metropolitan pipeline: N rigs (sharded over the mesh)
+    run detection + pose estimation, their WORLD-frame poses gather
+    (kilobytes) onto every device, and the row-sharded city grid
+    rasterizes them against its slabs — rig parallelism for the sensors,
+    spatial parallelism for the map, in two dispatches per tick."""
+
+    def __init__(self, spec: CityGridSpec, cfg, n_rigs: int,
+                 mesh: Optional[Mesh] = None, params=None, seed: int = 0,
+                 poses_fn=None):
+        from jax.sharding import PartitionSpec
+        from .mesh import rig_mesh
+
+        if mesh is None:
+            mesh = rig_mesh()
+        from .. import pipeline as _pipeline
+        from .shared_grid import rig_world_poses
+        cfg.validate()
+        self.cfg = cfg
+        self.spec = spec
+        self.n_rigs = n_rigs
+        self.mesh = mesh
+        engine = _pipeline.Engine(cfg, params=params, seed=seed)
+        self.params = engine.params
+        self.city = CityGrid(spec, mesh=Mesh(mesh.devices, ("x",)))
+        fn = poses_fn or rig_world_poses
+
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        P = PartitionSpec
+
+        @functools.partial(jax.jit)
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(P(), P("rig"), P("rig"), P("rig")),
+                           out_specs=jax.tree_util.tree_map(
+                               lambda _: P("rig"),
+                               LShapePoses.empty(1)))
+        def _poses(params, obs_b, extr_b, keys):
+            return jax.vmap(
+                lambda o, e, k: fn(params, o, e, self.cfg, k))(
+                obs_b, extr_b, keys)
+
+        self._poses = _poses
+
+    def init_grid(self) -> jnp.ndarray:
+        return self.city.init_grid()
+
+    def step(self, log_odds: jnp.ndarray, obs_b, extr_b,
+             step_key: jnp.ndarray):
+        """-> (log_odds', occupancy'), row-sharded over the mesh."""
+        keys = jax.random.split(step_key, self.n_rigs)
+        poses_b = self._poses(self.params, obs_b, extr_b, keys)
+        cap = poses_b.position.shape[1]
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((self.n_rigs * cap,) + x.shape[2:]),
+            poses_b)
+        return self.city.update(log_odds, flat)

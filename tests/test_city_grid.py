@@ -79,3 +79,51 @@ def test_persistence_across_ticks():
     m = np.asarray(lo)
     assert m.max() > 2 * SPEC.log_odds_hit  # evidence accumulated
     assert m.min() >= SPEC.min_log_odds
+
+
+def test_city_fusion_rigs_to_world_map():
+    """End-to-end: 8 fake rigs (rig-sharded) place objects at distinct
+    world positions; the row-sharded city grid shows each at the right
+    slab."""
+    import jax
+    from grid_vision_tpu.config import GridVisionConfig
+    from grid_vision_tpu.parallel.city_grid import CityFusion
+    from grid_vision_tpu.parallel.mesh import rig_mesh
+    from grid_vision_tpu.types import Extrinsics, Obs
+
+    cfg = GridVisionConfig(max_points=256, camera_image_height=32,
+                           camera_image_width=32, fx=16.0, fy=16.0,
+                           cx=16.0, cy=16.0, grid_x=24, grid_y=12,
+                           resolution=0.25)
+    n = 8
+
+    def fake_poses(params, obs, extr, c, key):
+        # each rig reports one 2x2 m box at world x = -32 + rig*8
+        rig = obs.image[0, 0, 0].astype(jnp.float32)
+        e = LShapePoses.empty(4)
+        return LShapePoses(
+            position=e.position.at[0, 0].set(-32.0 + rig * 8.0),
+            quat=e.quat,
+            length=e.length.at[0].set(2.0),
+            width=e.width.at[0].set(2.0),
+            height=e.height, label=e.label,
+            valid=e.valid.at[0].set(True))
+
+    cf = CityFusion(SPEC, cfg, n_rigs=n, mesh=rig_mesh(),
+                    params={}, poses_fn=fake_poses)
+    obs = jax.vmap(lambda i: Obs.create(cfg))(jnp.arange(n))
+    obs = Obs(image=obs.image.at[:, 0, 0, 0].set(
+        jnp.arange(n, dtype=jnp.float32)),
+        cloud=obs.cloud, has_image=jnp.ones((n,), bool),
+        has_cloud=jnp.ones((n,), bool))
+    extr = jax.vmap(lambda _: Extrinsics.identity())(jnp.arange(n))
+    lo, occ = cf.step(cf.init_grid(), obs, extr, jax.random.PRNGKey(0))
+    lo = np.asarray(lo)
+    h, w = SPEC.shape
+    # every rig's box must appear: one cluster per 8 m of world x
+    for rig in range(n):
+        x_world = -32.0 + rig * 8.0
+        row = int((SPEC.length_x / 2 - x_world) / SPEC.resolution)
+        row = min(max(row, 1), h - 2)
+        window = lo[max(0, row - 8):row + 8]
+        assert (window > 0).any(), f"rig {rig} box missing at row {row}"
