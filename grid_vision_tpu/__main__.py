@@ -85,14 +85,20 @@ def _run(argv):
     if args.timings:
         from .runtime.stream import obs_from_scene
         from .runtime.timing import TimedEngine
+        import time as _time
         timed = TimedEngine(eng)
         state = eng.init_state()
+        t0 = _time.perf_counter()
         for i in range(args.steps):
             obs = obs_from_scene(scene, i / args.hz, cfg)
             state, out, times = timed.step(state, obs)
             logger.info("step %d: %s", i, times)
             if pub is not None:
                 pub.publish(i, out, image=scene.image_at(i / args.hz))
+            if args.realtime:
+                sleep = (i + 1) / args.hz - (_time.perf_counter() - t0)
+                if sleep > 0:
+                    _time.sleep(sleep)
         if pub is not None:
             pub.close()
         return

@@ -139,6 +139,9 @@ class CityFusion:
         from .. import pipeline as _pipeline
         from .shared_grid import rig_world_poses
         cfg.validate()
+        n_dev = mesh.devices.size
+        if n_rigs % n_dev:
+            raise ValueError(f"n_rigs {n_rigs} % devices {n_dev} != 0")
         self.cfg = cfg
         self.spec = spec
         self.n_rigs = n_rigs

@@ -130,6 +130,25 @@ def _compact_dynamic(boxes: Boxes, capacity: int):
     ), order
 
 
+def pose_branch(params, obs: Obs, boxes: Boxes, K: jnp.ndarray,
+                rng: jnp.ndarray, extrinsics: Extrinsics,
+                cfg: GridVisionConfig):
+    """The dynamic-pose section of fuse as a standalone: boxes must
+    already carry the has_image gate (fuse applies it on entry). Returns
+    (camera-frame LShapePoses, box_cloud_truncated int32). THE single
+    copy of the vision-vs-PCA dispatch — fuse's internal branch, the
+    per-stage timing mode (runtime/timing.py) and the shared-grid
+    per-rig path all mirror these rules; keep them routed here."""
+    zero = jnp.zeros((), jnp.int32)
+    if cfg.use_vision_orientation:
+        return _vision_orientation_poses(params, obs.image, boxes,
+                                         K, cfg), zero
+    cloud_cam = transform_points(extrinsics.lidar_to_camera,
+                                 obs.cloud.xyz)
+    cloud_valid = obs.cloud.mask() & obs.has_cloud
+    return _pca_poses(cloud_cam, cloud_valid, boxes, K, rng, cfg)
+
+
 def _vision_orientation_poses(params, image, boxes: Boxes,
                               K: jnp.ndarray, cfg: GridVisionConfig):
     """The use_vision_orientation=true branch (:190-209), camera frame."""
@@ -195,7 +214,8 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
          extrinsics: Extrinsics, cfg: GridVisionConfig,
          poses_cam: LShapePoses | None = None,
          prenms_overflow: jnp.ndarray | None = None,
-         orientation_dropped: jnp.ndarray | None = None):
+         orientation_dropped: jnp.ndarray | None = None,
+         box_cloud_truncated: jnp.ndarray | None = None):
     """Everything after 2D detection: association, pose estimation, grid
     update, outputs. Split out so tests/replay can inject known boxes.
 
@@ -237,7 +257,8 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
 
     # --- dynamic branch: 3D poses (camera frame) ------------------------
     zero = jnp.zeros((), jnp.int32)
-    box_cloud_truncated = zero
+    box_cloud_truncated = (zero if box_cloud_truncated is None
+                           else box_cloud_truncated.astype(jnp.int32))
     if poses_cam is None:
         if cfg.use_vision_orientation:
             poses_cam = _vision_orientation_poses(params, obs.image, boxes,

@@ -116,13 +116,14 @@ class FleetServer:
             from ..types import Extrinsics
             self.grid = SharedGrid(cfg, n_rigs, mesh=mesh)
             self.world_lo = self.grid.init_grid()
+            from ..types import tree_stack
             ext = (rig_extrinsics
                    or [Extrinsics.identity()] * n_rigs)
-            self._extr_b = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *ext)
+            self._extr_b = tree_stack(ext)
             self._pubs = [SessionPublisher(f"{name}-world", cfg,
                                            overlay=False)]
             self.dropped_total = 0
+            self._dropped_dev = jnp.zeros((), jnp.int32)
         else:
             self.fleet = Fleet(cfg, n_rigs, mesh=mesh)
             self.states = self.fleet.init_states()
@@ -193,8 +194,13 @@ class FleetServer:
             self.world_lo, occ, dropped = self.grid(
                 self.world_lo, obs, self._extr_b,
                 jax.random.PRNGKey(i))
-            self.dropped_total += int(jax.device_get(dropped))
+            # accumulate on device (async add); readback only at
+            # publish cadence — a per-tick device_get would rate-cap
+            # the hub on this tunnel's 50ms+ readback latency
+            self._dropped_dev = self._dropped_dev + dropped
             if i % self.publish_every == 0:
+                self.dropped_total = int(
+                    jax.device_get(self._dropped_dev))
                 self._pubs[0].publish(i, _grid_only_output(
                     occ, self.cfg))
             return

@@ -27,7 +27,7 @@ import numpy as np
 
 from .. import pipeline
 from ..config import GridVisionConfig
-from ..geometry import intrinsic_matrix, transform_points
+from ..geometry import intrinsic_matrix
 from ..types import Extrinsics, GridState, Obs
 
 
@@ -55,16 +55,14 @@ class TimedEngine:
             pipeline.detect_with_stats, cfg=cfg))
 
         def poses_stage(params, obs, boxes, rng):
+            # the SAME has_image gate fuse applies on entry (Q1: a
+            # stale/absent camera must not produce phantom poses)
+            boxes = boxes.__class__(
+                xyxy=boxes.xyxy, confidence=boxes.confidence,
+                label=boxes.label, valid=boxes.valid & obs.has_image)
             K = intrinsic_matrix(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
-            if cfg.use_vision_orientation:
-                return pipeline._vision_orientation_poses(
-                    params, obs.image, boxes, K, cfg)
-            cloud_cam = transform_points(
-                engine.extrinsics.lidar_to_camera, obs.cloud.xyz)
-            cloud_valid = obs.cloud.mask() & obs.has_cloud
-            poses, _trunc = pipeline._pca_poses(
-                cloud_cam, cloud_valid, boxes, K, rng, cfg)
-            return poses
+            return pipeline.pose_branch(params, obs, boxes, K, rng,
+                                        engine.extrinsics, cfg)
 
         self._poses = jax.jit(poses_stage)
         self._fuse = jax.jit(functools.partial(pipeline.fuse, cfg=cfg),
@@ -81,12 +79,13 @@ class TimedEngine:
         _sync(boxes.confidence)
         t1 = time.perf_counter()
         rng, _ = jax.random.split(state.rng)
-        poses_cam = self._poses(eng.params, obs, boxes, rng)
+        poses_cam, trunc = self._poses(eng.params, obs, boxes, rng)
         _sync(poses_cam.position)
         t2 = time.perf_counter()
         state, out = self._fuse(eng.params, state, obs, boxes,
                                 eng.extrinsics, poses_cam=poses_cam,
-                                prenms_overflow=overflow)
+                                prenms_overflow=overflow,
+                                box_cloud_truncated=trunc)
         _sync(state.log_odds)
         t3 = time.perf_counter()
         return state, out, StageTimes(
