@@ -7,6 +7,11 @@ world the demo/bench use: colored-blob renders of moving traffic with
 ground-truth boxes from the scene geometry. Checkpoints land at the
 config's detection_weights_file path and are picked up by
 models.weights.load_all / the demo's ``--det net`` mode.
+
+NOTE: this is the host-fed CPU-friendly path. The primary trainer is
+train/fit_on_device.py (zero host traffic per step, --scene-frames
+mixing) — it produced the shipped weights/detector.npz; see
+docs/QUALITY.md for the recipe.
 """
 
 from __future__ import annotations
