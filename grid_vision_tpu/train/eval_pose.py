@@ -56,10 +56,16 @@ def evaluate_poses(mode: str = "vision", n_frames: int = 32,
 
     import dataclasses
     base = cfg or GridVisionConfig()
-    cfg = dataclasses.replace(
-        base, use_vision_orientation=(mode == "vision"),
-        **({"compat": False, "vision_depth_refine": True}
-           if refine else {}))
+    overrides = {"use_vision_orientation": mode == "vision"}
+    if refine:
+        overrides.update(compat=False, vision_depth_refine=True)
+    if det == "net" and not base.detection_weights_file:
+        # --det net without explicit weights would silently evaluate a
+        # random-init detector (zero detections); default to the
+        # shipped checkpoints
+        overrides.update(detection_weights_file="weights/detector.npz",
+                         vision_weights_file="weights/orientation.npz")
+    cfg = dataclasses.replace(base, **overrides)
     eng = pipeline.Engine(cfg, extrinsics=default_extrinsics(), seed=0)
     fuse = jax.jit(functools.partial(pipeline.fuse, cfg=cfg))
 
