@@ -62,7 +62,7 @@ def time_chunks(fn, *args, n_warm=1, budget_s=45.0, unit_count=1,
 
     rates = []
     t_all = time.perf_counter()
-    for g in range(groups):
+    for g in range(2 * groups):
         count = 0
         t0 = time.perf_counter()
         while count < 2 or time.perf_counter() - t0 < budget_s / 16:
@@ -72,11 +72,21 @@ def time_chunks(fn, *args, n_warm=1, budget_s=45.0, unit_count=1,
                 break
         _ = readback(jax.tree_util.tree_leaves(out)[0])
         dt = time.perf_counter() - t0 - sync
-        rates.append(unit_count * count / max(dt, 1e-9))
-        # never break before 3 windows: a stall in window 0 would
+        # Discard (don't clamp) windows whose dt <= 0: the one-time sync
+        # estimate can exceed a later window's true readback when tunnel
+        # latency varies (50 ms .. minutes per CLAUDE.md), and a clamped
+        # 1e-9 window would inject an absurd ~1e12 rate into the median.
+        if dt > 0:
+            rates.append(unit_count * count / dt)
+        # never break before 3 kept windows: a stall in window 0 would
         # otherwise BE the median (the failure this method rejects)
-        if len(rates) >= 3 and time.perf_counter() - t_all > budget_s:
+        if len(rates) >= max(3, groups) or (
+                len(rates) >= 3 and time.perf_counter() - t_all > budget_s):
             break
+    if not rates:
+        # every window was swallowed by the sync estimate; fall back to
+        # the raw (sync-inclusive) rate of the last window
+        rates = [unit_count * count / max(time.perf_counter() - t0, 1e-9)]
     return float(np.median(rates))
 
 

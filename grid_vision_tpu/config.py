@@ -182,11 +182,13 @@ class GridVisionConfig:
             raise ValueError("max_candidates must be >= max_detections")
         if self.compat and (self.raycast_free_space or self.class_aware_nms
                             or self.yaw_aware_rasterization
-                            or self.vision_depth_refine):
+                            or self.vision_depth_refine
+                            or self.detector_precision != "float"):
             raise ValueError(
                 "extensions (raycast_free_space / class_aware_nms / "
-                "yaw_aware_rasterization / vision_depth_refine) deviate "
-                "from reference behavior; set compat=False to enable them")
+                "yaw_aware_rasterization / vision_depth_refine / "
+                "detector_precision != 'float') deviate from reference "
+                "behavior; set compat=False to enable them")
         if self.orientation_arch not in ("s2d", "resnet"):
             raise ValueError(
                 f"unknown orientation_arch {self.orientation_arch!r}")

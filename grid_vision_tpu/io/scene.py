@@ -54,6 +54,61 @@ class SyntheticScene:
         self.add_object([-2.5, 1.3, 18.0], [0.5, 0.0, 0.0],
                         (0.6, 1.0, 0.6), 2)   # crossing person
 
+    def add_default_statics(self) -> None:
+        """Fixed roadside furniture covering the static classes the
+        reference renders distinctly (grid_vision_node.cpp:405-523:
+        colored light spheres, "SPEED LIMIT: N KMPH" sign text)."""
+        self.add_object([3.5, -2.2, 14.0], [0.0, 0.0, 0.0],
+                        (0.4, 1.0, 0.4), 5)   # red light on a mast
+        self.add_object([-4.0, -2.0, 18.0], [0.0, 0.0, 0.0],
+                        (0.4, 1.0, 0.4), 3)   # green light
+        self.add_object([4.2, -0.8, 10.0], [0.0, 0.0, 0.0],
+                        (0.8, 0.8, 0.15), 7)  # speed-limit 60 sign
+
+    def add_random_traffic(self, rng: np.random.Generator,
+                           n_dynamic: int = 2, n_static: int = 2) -> None:
+        """Randomized traffic spanning ALL TEN reference classes
+        (object_detection.hpp:12-25): dynamic road users at ground level
+        plus static lights/signs on masts. Shared by the scene training
+        dataset (train/scene_dataset.py) and the held-out scene eval
+        (train/eval_map.heldout_scene) so both worlds exercise the full
+        taxonomy."""
+        for _ in range(n_dynamic):
+            r = rng.random()
+            if r < 0.45:      # vehicle
+                self.add_object(
+                    [rng.uniform(-5, 5), 1.2, rng.uniform(6, 40)],
+                    [rng.uniform(-1, 1), 0.0, rng.uniform(-3, 1)],
+                    (1.8, 1.4, 4.2), 9)
+            elif r < 0.70:    # person
+                self.add_object(
+                    [rng.uniform(-4, 4), 0.9, rng.uniform(4, 25)],
+                    [rng.uniform(-1.2, 1.2), 0.0, rng.uniform(-0.5, 0.5)],
+                    (0.5, 1.7, 0.5), 2)
+            elif r < 0.85:    # bike
+                self.add_object(
+                    [rng.uniform(-4, 4), 1.2, rng.uniform(5, 28)],
+                    [rng.uniform(-1.5, 1.5), 0.0, rng.uniform(-1, 1)],
+                    (0.5, 1.2, 1.8), 0)
+            else:             # motorbike
+                self.add_object(
+                    [rng.uniform(-5, 5), 1.2, rng.uniform(5, 32)],
+                    [rng.uniform(-2, 2), 0.0, rng.uniform(-3, 1)],
+                    (0.7, 1.3, 2.2), 1)
+        for _ in range(n_static):
+            label = int(rng.choice([3, 4, 5, 6, 7, 8]))
+            side = 1.0 if rng.random() < 0.5 else -1.0
+            if label <= 5:    # traffic light: ~4 m up a mast
+                self.add_object(
+                    [side * rng.uniform(2.5, 6.0),
+                     rng.uniform(-2.6, -1.8), rng.uniform(8, 24)],
+                    [0.0, 0.0, 0.0], (0.4, 1.0, 0.4), label)
+            else:             # speed sign: ~2.5 m up, faces the camera
+                self.add_object(
+                    [side * rng.uniform(3.0, 6.5),
+                     rng.uniform(-1.1, -0.5), rng.uniform(6, 22)],
+                    [0.0, 0.0, 0.0], (0.8, 0.8, 0.15), label)
+
     def cloud_at(self, t: float) -> np.ndarray:
         """Camera-frame (N, 3) LiDAR points at time t (deterministic in
         (seed, t) — see __init__)."""

@@ -4,7 +4,7 @@ The v5e MXU runs int8 at 2x its bf16 rate (394 vs 197 T/s), and the
 detector's convs are the largest single stage of the fused step. This
 module folds BatchNorm into each conv, quantizes weights to symmetric
 per-output-channel int8 offline, and quantizes activations dynamically
-(per-tensor max-abs) at run time — the standard recipe that keeps CNN
+(per-sample max-abs) at run time — the standard recipe that keeps CNN
 mAP within ~1 point without calibration data.
 
 Structure mirrors models/yolov4_tiny.YoloV4Tiny layer-for-layer (same
@@ -12,8 +12,9 @@ flax auto-names consumed from the same checkpoint); the decode stays
 the shared yolov4_tiny.decode, so the 2535-anchor output contract
 (src/object_detection.cpp:79-106) is unchanged.
 
-Select with GridVisionConfig(detector_precision="int8") — an
-extension-mode knob (compat=False): outputs differ from the f32/bf16
+Select with GridVisionConfig(detector_precision="int8", compat=False) —
+an extension-mode knob gated by validate() like the other extensions:
+outputs differ from the f32/bf16
 reference path at the quantization-noise level, which moves some
 boxes/confidences by a few ulps-to-percent. Quality is regression-
 tested (tests/test_int8_detector.py: mAP within 0.02 of the float
@@ -103,10 +104,14 @@ def _qconv(x: jnp.ndarray, layer: Dict[str, jnp.ndarray],
            stride: int) -> jnp.ndarray:
     """Dynamic-act-quantized conv + folded bias + leaky(0.1), f32 out.
 
-    x: (B, H, W, C) float. Per-tensor activation scale from the batch's
-    max-abs (symmetric; zero-point 0 keeps SAME zero padding exact).
+    x: (B, H, W, C) float. Per-SAMPLE activation scale (max-abs over
+    each image's H, W, C — symmetric; zero-point 0 keeps SAME zero
+    padding exact). Per-sample rather than per-batch so the same frame
+    quantizes identically through detect (B=1) and detect_batch/fleet
+    (B=N) regardless of batch composition.
     """
-    sx = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True) / 127.0, 1e-12)
     xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         xq, layer["wq"], window_strides=(stride, stride), padding="SAME",

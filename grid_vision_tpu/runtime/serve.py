@@ -73,6 +73,11 @@ class FleetClient:
         self.cfg = cfg
         self._img = _image_box(name, rig, cfg, create=False)
         self._cloud = _cloud_box(name, rig, cfg, create=False)
+        # Producer-side telemetry: points dropped by the capacity clamp
+        # (a real LiDAR burst beyond the negotiated mailbox size must
+        # degrade by subsampling, never by killing the producer thread).
+        self.points_dropped = 0
+        self.frames_clamped = 0
 
     def publish_image(self, rgb8: np.ndarray, stamp_ns: int = 0) -> None:
         self._img.write(
@@ -81,7 +86,24 @@ class FleetClient:
     def publish_cloud(self, xyz: np.ndarray,
                       intensity: Optional[np.ndarray] = None,
                       stamp_ns: int = 0) -> None:
-        n = xyz.shape[0]
+        """Publish one LiDAR scan (n, 3) [+ (n,) intensity].
+
+        Clamps to the mailbox capacity negotiated from the server's shm
+        header: an oversize scan is uniformly subsampled (even angular
+        coverage — LiDAR scans are angle-ordered) instead of raising
+        into the producer thread, and the drop is counted in
+        ``points_dropped`` / ``frames_clamped``.
+        """
+        n = int(xyz.shape[0])
+        cap_pts = max(int(self._cloud.capacity) // 16, 1)
+        if n > cap_pts:
+            keep = np.linspace(0, n - 1, cap_pts).round().astype(np.int64)
+            xyz = xyz[keep]
+            if intensity is not None:
+                intensity = intensity[keep]
+            self.points_dropped += n - cap_pts
+            self.frames_clamped += 1
+            n = cap_pts
         blob = np.zeros((n, 4), np.float32)
         blob[:, :3] = xyz
         if intensity is not None:
@@ -230,6 +252,8 @@ class FleetServer:
 
     def close(self, unlink: bool = True) -> None:
         for b in self._img_boxes + self._cloud_boxes:
+            if unlink:
+                b.unlink()   # server created them; mirror publisher cleanup
             b.close()
         for p in self._pubs:
             if unlink:

@@ -224,11 +224,11 @@ def heldout_scene(n_images: int, cfg: GridVisionConfig, seed: int = 500):
     for i in range(n_images):
         scene = SyntheticScene(cfg, seed=seed + i)
         scene.add_default_traffic()
-        for _ in range(int(rng.integers(0, 4))):
-            scene.add_object(
-                center=[rng.uniform(-5, 5), 1.2, rng.uniform(6, 40)],
-                velocity=[rng.uniform(-1, 1), 0.0, rng.uniform(-3, 1)],
-                size=(1.8, 1.4, 4.2), label=9)
+        # Held-out worlds span ALL TEN classes (lights in three colors,
+        # signs in three values) so per-class AP is measured for each.
+        scene.add_random_traffic(rng,
+                                 n_dynamic=int(rng.integers(0, 4)),
+                                 n_static=int(rng.integers(1, 4)))
         t = float(rng.uniform(0.0, 2.0))
         images.append(np.asarray(scene.image_at(t), np.float32))
         gxy, gl = [], []

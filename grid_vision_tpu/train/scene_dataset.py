@@ -53,20 +53,12 @@ def build_scene_dataset(n_frames: int, cfg: GridVisionConfig,
     for i in range(n_frames):
         scene = SyntheticScene(cfg, seed=seed + i)
         scene.add_default_traffic()
-        for _ in range(int(rng.integers(0, 4))):
-            if rng.random() < 0.65:   # extra vehicle
-                scene.add_object(
-                    center=[rng.uniform(-5, 5), 1.2, rng.uniform(6, 40)],
-                    velocity=[rng.uniform(-1, 1), 0.0,
-                              rng.uniform(-3, 1)],
-                    size=(1.8, 1.4, 4.2), label=9)
-            else:                     # extra person
-                scene.add_object(
-                    center=[rng.uniform(-4, 4), 0.9,
-                            rng.uniform(4, 25)],
-                    velocity=[rng.uniform(-1.2, 1.2), 0.0,
-                              rng.uniform(-0.5, 0.5)],
-                    size=(0.5, 1.7, 0.5), label=2)
+        # Full-taxonomy random traffic (all 10 classes incl. the three
+        # light colors and three sign values the reference's weights
+        # discriminate — object_detection.hpp:12-25).
+        scene.add_random_traffic(rng,
+                                 n_dynamic=int(rng.integers(0, 4)),
+                                 n_static=int(rng.integers(0, 4)))
         t = float(rng.uniform(0.0, 3.0))
         images[i] = np.clip(scene.image_at(t), 0, 255).astype(np.uint8)
         gts = []

@@ -22,14 +22,22 @@ from ..models.yolov4_tiny import ANCHORS, HEAD_MASKS, YoloConfig
 from .targets import head_offsets
 
 # Label palette: (class id, RGB) — distinct colors per class so the
-# detector can actually learn the class mapping.
+# detector can actually learn the class mapping. ALL TEN reference
+# classes (include/grid_vision/object_detection.hpp:12-25): the
+# reference's weights discriminate three light colors and three sign
+# values, so ours must train on all of them (pairwise channel distance
+# >= ~30 against every neighbor, >> the render noise sigma of 4).
 CLASS_COLORS = np.array([
     [9, 220, 60, 50],     # vehicle: red-ish
     [2, 40, 200, 80],     # person: green-ish
     [0, 60, 80, 230],     # bike: blue-ish
     [1, 200, 180, 40],    # motorbike: yellow-ish
+    [3, 110, 250, 30],    # green light: lime
+    [4, 250, 130, 20],    # orange light: orange
     [5, 230, 40, 160],    # red light: magenta-ish
     [6, 40, 220, 220],    # sign 30: cyan-ish
+    [7, 130, 60, 150],    # sign 60: purple
+    [8, 240, 240, 240],   # sign 90: white
 ], np.int32)
 
 

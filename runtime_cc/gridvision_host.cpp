@@ -27,6 +27,7 @@
 #include <cstdio>
 #include <cstring>
 #include <mutex>
+#include <shared_mutex>
 #include <vector>
 
 namespace {
@@ -139,6 +140,10 @@ struct ShmBox {
 constexpr int kMaxShmBoxes = 256;
 ShmBox g_shm[kMaxShmBoxes];
 std::mutex g_shm_mu;
+// Per-handle reader/writer locks: capacity/read/write hold a shared lock
+// for the duration of their access so a concurrent gv_shm_close (unique
+// lock) cannot munmap the mapping out from under them.
+std::shared_mutex g_shm_handle_mu[kMaxShmBoxes];
 
 inline std::atomic<uint64_t>* shm_seq(ShmBox& b) {
   return reinterpret_cast<std::atomic<uint64_t>*>(b.base);
@@ -195,6 +200,9 @@ int gv_shm_open(const char* path, int64_t capacity, int create) {
   std::lock_guard<std::mutex> lock(g_shm_mu);
   for (int h = 0; h < kMaxShmBoxes; ++h) {
     if (g_shm[h].base == nullptr) {
+      // Handle lock (lock order: g_shm_mu then handle, same as close)
+      // so a stale-handled reader never sees a half-assigned slot.
+      std::unique_lock<std::shared_mutex> hl(g_shm_handle_mu[h]);
       g_shm[h].base = p;
       g_shm[h].map_size = map_size;
       g_shm[h].writable = create != 0;
@@ -206,7 +214,9 @@ int gv_shm_open(const char* path, int64_t capacity, int create) {
 }
 
 int64_t gv_shm_capacity(int h) {
-  if (h < 0 || h >= kMaxShmBoxes || g_shm[h].base == nullptr) return -1;
+  if (h < 0 || h >= kMaxShmBoxes) return -1;
+  std::shared_lock<std::shared_mutex> lock(g_shm_handle_mu[h]);
+  if (g_shm[h].base == nullptr) return -1;
   int64_t cap;
   std::memcpy(&cap, g_shm[h].base + 24, 8);
   return cap;
@@ -216,8 +226,9 @@ int64_t gv_shm_capacity(int h) {
 // number (count of completed writes) or negative on error.
 int64_t gv_shm_write(int h, const uint8_t* data, int64_t size,
                      uint64_t stamp_ns) {
-  if (h < 0 || h >= kMaxShmBoxes || g_shm[h].base == nullptr || size < 0)
-    return -1;
+  if (h < 0 || h >= kMaxShmBoxes || size < 0) return -1;
+  std::shared_lock<std::shared_mutex> lock(g_shm_handle_mu[h]);
+  if (g_shm[h].base == nullptr) return -1;
   ShmBox& b = g_shm[h];
   int64_t cap;
   std::memcpy(&cap, b.base + 24, 8);
@@ -237,7 +248,9 @@ int64_t gv_shm_write(int h, const uint8_t* data, int64_t size,
 // readers can skip frames they have already seen.
 int64_t gv_shm_read(int h, uint8_t* out, int64_t cap, uint64_t* stamp_ns,
                     uint64_t* seq_out) {
-  if (h < 0 || h >= kMaxShmBoxes || g_shm[h].base == nullptr) return -1;
+  if (h < 0 || h >= kMaxShmBoxes) return -1;
+  std::shared_lock<std::shared_mutex> lock(g_shm_handle_mu[h]);
+  if (g_shm[h].base == nullptr) return -1;
   ShmBox& b = g_shm[h];
   std::atomic<uint64_t>* seq = shm_seq(b);
   for (int attempt = 0; attempt < 1024; ++attempt) {
@@ -263,7 +276,11 @@ int64_t gv_shm_read(int h, uint8_t* out, int64_t cap, uint64_t* stamp_ns,
 
 void gv_shm_close(int h) {
   if (h < 0 || h >= kMaxShmBoxes) return;
+  // Lock order: g_shm_mu then the handle lock (matches gv_shm_open).
+  // The unique handle lock waits out any in-flight read/write on this
+  // handle, and blocks new ones, before the munmap.
   std::lock_guard<std::mutex> lock(g_shm_mu);
+  std::unique_lock<std::shared_mutex> handle_lock(g_shm_handle_mu[h]);
   if (g_shm[h].base != nullptr) {
     ::munmap(g_shm[h].base, g_shm[h].map_size);
     g_shm[h] = ShmBox{};

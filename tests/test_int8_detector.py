@@ -43,7 +43,8 @@ def test_int8_map_within_float():
     cfg_f = GridVisionConfig(
         detection_weights_file="/weights/detector.npz")
     params = weights_mod.load_all(cfg_f, base_dir=REPO)
-    cfg_i = dataclasses.replace(cfg_f, detector_precision="int8")
+    cfg_i = dataclasses.replace(cfg_f, detector_precision="int8",
+                                compat=False)
     params["detector_q"] = yolov4_int8.quantize_detector(
         params["detector"])
     r_f = evaluate_detector(params, cfg_f, n_images=4, source="synth")
@@ -55,4 +56,8 @@ def test_config_knob():
     import pytest
     with pytest.raises(ValueError):
         GridVisionConfig(detector_precision="fp4").validate()
-    GridVisionConfig(detector_precision="int8").validate()
+    # int8 is an extension knob: gated behind compat=False like the
+    # other reference-deviating extensions (ADVICE r2).
+    with pytest.raises(ValueError):
+        GridVisionConfig(detector_precision="int8").validate()
+    GridVisionConfig(detector_precision="int8", compat=False).validate()

@@ -124,3 +124,52 @@ def test_fusion_hub_mode_publishes_world_grid():
     finally:
         stop.set()
         server.close()
+
+
+def test_oversize_cloud_is_clamped_not_fatal():
+    """A cloud bigger than the mailbox capacity is uniformly subsampled
+    by the producer (telemetry counts the drop) and the rig keeps
+    streaming — a real LiDAR burst must never kill a producer thread
+    with a shm-write error (round-2 failure mode)."""
+    cfg = small_cfg()
+    name = "gvtest-serve-oversize"
+    server = FleetServer(name, cfg, n_rigs=2, mesh=_mesh2())
+    try:
+        client = FleetClient(name, 0, cfg)
+        cap_pts = int(client._cloud.capacity) // 16
+        n = 10 * cap_pts                      # 10x oversize burst
+        rng = np.random.default_rng(1)
+        cloud = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+        client.publish_cloud(cloud, intensity=np.ones(n, np.float32))
+        assert client.frames_clamped == 1
+        assert client.points_dropped == n - cap_pts
+        client.publish_image(np.full((96, 128, 3), 90, np.uint8))
+        client.close()
+        server.spin(steps=2, hz=100.0)
+        lo = np.asarray(server.states.log_odds)
+        assert np.isfinite(lo).all()
+        assert not np.allclose(lo[0], 0.0)    # the rig still updated
+        # a normal-size cloud publishes without touching the counters
+        client2 = FleetClient(name, 0, cfg)
+        client2.publish_cloud(cloud[:100])
+        assert client2.frames_clamped == 0
+        client2.close()
+    finally:
+        server.close()
+
+
+def test_server_close_unlinks_sensor_mailboxes():
+    """close(unlink=True) must remove the per-rig image/cloud mailbox
+    files it created, not just the session publisher channels (ADVICE
+    r2: stale gv_*-r*.{image,cloud}.mbx files after every run)."""
+    import os
+    cfg = small_cfg()
+    name = "gvtest-serve-unlink"
+    server = FleetServer(name, cfg, n_rigs=2, mesh=_mesh2())
+    paths = [native.shm_path(rig_session(name, r), ch)
+             for r in range(2) for ch in ("image", "cloud")]
+    for p in paths:
+        assert os.path.exists(p), p
+    server.close(unlink=True)
+    for p in paths:
+        assert not os.path.exists(p), f"stale mailbox left behind: {p}"
