@@ -20,11 +20,19 @@ protobuf fixture that pins the wire format independent of the writer.
 
 Mapping convention (matches the darknet/pytorch-YOLOv4 export lineage
 the reference's tensor names come from — input/boxes/confs,
-object_detection.cpp:79-80): Conv nodes appear in graph (execution)
-order, each ConvBN's convolution immediately followed by a
-BatchNormalization node; the two detection-head convs carry a bias and
-no BN. Conv weights are OIHW; Flax kernels are HWIO. Every assignment
-is shape-checked and mismatches raise with the offending node name.
+object_detection.cpp:79-80, and the yolov4_1_3_416_416_static.onnx
+file-name scheme of that exporter): the 21 Conv nodes are ordered by a
+dependency-driven TOPOLOGICAL sort (serialized node order is only a
+tie-break, so shuffled or decode-subgraph-bearing exports import
+correctly), each ConvBN's convolution paired with the
+BatchNormalization node that CONSUMES its output; the two
+detection-head convs carry a bias and no BN. When every conv weight
+initializer carries a darknet layer index in its name
+(``models.{i}.conv{i}.weight``-style, the darknet2pytorch module
+naming), the index ordering is used instead — name-based mapping with
+the topological path as fallback. Conv weights are OIHW; Flax kernels
+are HWIO. Every assignment is shape-checked; the first mismatch raises
+naming the offending node, its weight tensor, and both shapes.
 """
 
 from __future__ import annotations
@@ -224,6 +232,59 @@ _CONV_ORDER: Tuple[Tuple[str, bool], ...] = (
 )
 
 
+def _topo_sort(nodes: List[Dict[str, Any]],
+               inits: Dict[str, np.ndarray]) -> List[Dict[str, Any]]:
+    """Dependency-driven execution order (Kahn), serialized order as the
+    tie-break. Real torch exports serialize in execution order already —
+    then this is the identity — but nothing in the ONNX spec requires
+    it, and initializer-only inputs (weights, Resize scales, Shape
+    constants) are available from the start."""
+    produced = {o for n in nodes for o in n["outputs"]}
+    available = set(inits)
+    # graph inputs: referenced tensors nobody produces (the image input)
+    for n in nodes:
+        for i in n["inputs"]:
+            if i and i not in produced:
+                available.add(i)
+    pending = list(nodes)
+    ordered: List[Dict[str, Any]] = []
+    while pending:
+        progressed = False
+        rest = []
+        for n in pending:
+            if all((not i) or i in available for i in n["inputs"]):
+                ordered.append(n)
+                available.update(n["outputs"])
+                progressed = True
+            else:
+                rest.append(n)
+        if not progressed:
+            missing = [i for i in rest[0]["inputs"]
+                       if i and i not in available]
+            raise ValueError(
+                f"graph is not a DAG / has dangling inputs: node "
+                f"{rest[0]['name'] or rest[0]['op_type']!r} waits on "
+                f"{missing}")
+        pending = rest
+    return ordered
+
+
+_NAME_INDEX_RE = None  # compiled lazily
+
+
+def _darknet_layer_index(weight_name: str):
+    """Darknet layer index from a pytorch-YOLOv4 initializer name
+    (``models.{i}.conv{i}.weight`` / ``module_list.{i}.Conv2d.weight``
+    style), or None if the name carries no index."""
+    global _NAME_INDEX_RE
+    import re
+    if _NAME_INDEX_RE is None:
+        _NAME_INDEX_RE = re.compile(
+            r"(?:^|\.)(?:models|module_list|layers)\.(\d+)\.")
+    m = _NAME_INDEX_RE.search(weight_name)
+    return int(m.group(1)) if m else None
+
+
 def _tree_get(tree: Dict[str, Any], path: str) -> Dict[str, Any]:
     node = tree
     for part in path.split("/"):
@@ -254,13 +315,24 @@ def import_yolov4_tiny(path: str, variables: Dict[str, Any]
     import jax
 
     nodes, inits = load_graph(path)
+    nodes = _topo_sort(nodes, inits)
     convs = [n for n in nodes if n["op_type"] == "Conv"]
     bn_by_input = {n["inputs"][0]: n for n in nodes
                    if n["op_type"] == "BatchNormalization"}
     if len(convs) != len(_CONV_ORDER):
+        extra = [n["name"] or n["inputs"][1] for n in convs]
         raise ValueError(
             f"{path}: expected {len(_CONV_ORDER)} Conv nodes "
-            f"(yolov4-tiny), found {len(convs)}")
+            f"(yolov4-tiny), found {len(convs)}: {extra}")
+
+    # Name-based ordering when the export carries darknet layer indices
+    # in its initializer names (pytorch-YOLOv4 lineage); topological
+    # order otherwise. Both are verified shape-by-shape below.
+    indices = [_darknet_layer_index(n["inputs"][1]) for n in convs]
+    if all(i is not None for i in indices) and len(set(indices)) == len(
+            indices):
+        convs = [n for _, n in sorted(zip(indices, convs),
+                                      key=lambda t: t[0])]
 
     # deep-copy to plain nested dicts of numpy arrays
     variables = jax.tree_util.tree_map(np.asarray, dict(variables))
@@ -268,7 +340,17 @@ def import_yolov4_tiny(path: str, variables: Dict[str, Any]
     stats = variables["batch_stats"]
 
     for conv_node, (path_, has_bn) in zip(convs, _CONV_ORDER):
-        w = inits[conv_node["inputs"][1]]          # OIHW
+        wname = conv_node["inputs"][1]
+        if wname not in inits:
+            raise ValueError(
+                f"{path}: Conv {conv_node['name'] or wname!r} weight "
+                f"{wname!r} is not an initializer (dynamic weights are "
+                "not supported)")
+        w = inits[wname]                           # OIHW
+        if w.ndim != 4:
+            raise ValueError(
+                f"{path}: Conv weight {wname!r} has rank {w.ndim}, "
+                "expected 4 (OIHW)")
         kernel = np.transpose(w, (2, 3, 1, 0))     # -> HWIO
         if has_bn:
             conv_path = path_ + "/Conv_0"
@@ -276,16 +358,32 @@ def import_yolov4_tiny(path: str, variables: Dict[str, Any]
         else:
             conv_path = path_
             bn_path = None
-        _tree_set(params, conv_path, "kernel", kernel)
-        if len(conv_node["inputs"]) > 2:
-            _tree_set(params, conv_path, "bias",
-                      inits[conv_node["inputs"][2]])
+        try:
+            _tree_set(params, conv_path, "kernel", kernel)
+            if len(conv_node["inputs"]) > 2 and conv_node["inputs"][2]:
+                _tree_set(params, conv_path, "bias",
+                          inits[conv_node["inputs"][2]])
+        except ValueError as e:
+            raise ValueError(
+                f"{path}: first unmatched node: Conv "
+                f"{conv_node['name'] or wname!r} (weight {wname!r}, "
+                f"OIHW {tuple(w.shape)}) does not fit {conv_path}: {e}"
+            ) from e
         if has_bn:
             bn = bn_by_input.get(conv_node["outputs"][0])
             if bn is None:
                 raise ValueError(
-                    f"{path}: Conv {conv_node['name'] or conv_path} has "
-                    "no following BatchNormalization node")
+                    f"{path}: first unmatched node: Conv "
+                    f"{conv_node['name'] or conv_path!r} output feeds no "
+                    "BatchNormalization node (expected Conv->BN->"
+                    "LeakyRelu; head convs with bias must come last in "
+                    "darknet order)")
+            missing = [i for i in bn["inputs"][1:5] if i not in inits]
+            if missing:
+                raise ValueError(
+                    f"{path}: BatchNormalization "
+                    f"{bn['name'] or bn['inputs'][0]!r} parameters "
+                    f"{missing} are not initializers")
             scale, bias, mean, var = (inits[i] for i in bn["inputs"][1:5])
             _tree_set(params, bn_path, "scale", scale)
             _tree_set(params, bn_path, "bias", bias)
@@ -327,70 +425,148 @@ def _node_bytes(op_type: str, name: str, inputs: List[str],
     return out
 
 
-def export_yolov4_tiny(variables: Dict[str, Any], path: str) -> None:
+def export_yolov4_tiny(variables: Dict[str, Any], path: str,
+                       style: str = "flax") -> None:
     """Write a Flax YoloV4Tiny variables tree as a minimal ONNX file in
     the darknet-export convention import_yolov4_tiny consumes (Conv
-    [+Bias] -> BatchNormalization -> LeakyRelu chains in execution
-    order, interleaved non-parameter ops included so the importer is
-    exercised against a realistically-shaped graph)."""
+    [+Bias] -> BatchNormalization -> LeakyRelu chains, interleaved
+    non-parameter ops included so the importer is exercised against a
+    realistically-shaped graph).
+
+    style="flax": tensors named w{i}/bn{i}_{j}, nodes and initializers
+    serialized in execution order (the round-2 fixture shape).
+
+    style="pytorch": mimics the pytorch-YOLOv4 export lineage the
+    reference's blobs come from (yolov4_1_3_416_416_static.onnx,
+    src/object_detection.cpp:41-58): darknet-indexed initializer names
+    (models.{i}.conv{i}.weight / models.{i}.bn{i}.running_mean),
+    initializers serialized in SHUFFLED (non-execution) order, the neck
+    branches serialized 26-grid-first (topologically valid but
+    misleading serialized conv order — only name-based mapping recovers
+    it), a Resize node with a scales initializer, Concat routes, and a
+    decode subgraph (Sigmoid/Slice/Exp/Mul/Concat producing the
+    boxes/confs outputs of object_detection.cpp:79-80).
+    """
     import jax
 
+    if style not in ("flax", "pytorch"):
+        raise ValueError(f"unknown fixture style {style!r}")
     variables = jax.tree_util.tree_map(np.asarray, dict(variables))
     params = variables["params"]
     stats = variables["batch_stats"]
 
-    nodes = b""
-    inits = b""
-    prev = "input"
-    for i, (path_, has_bn) in enumerate(_CONV_ORDER):
+    node_list: List[Tuple[str, str, List[str], List[str]]] = []
+    init_list: List[Tuple[str, np.ndarray]] = []
+
+    def emit_conv(i: int, path_: str, has_bn: bool, src: str) -> str:
+        """Append Conv[->BN->LeakyRelu] for _CONV_ORDER[i]; returns the
+        output tensor name. i doubles as the darknet layer index."""
         conv_path = path_ + "/Conv_0" if has_bn else path_
         kernel = _tree_get(params, conv_path)["kernel"]
         w = np.transpose(kernel, (3, 2, 0, 1))     # HWIO -> OIHW
-        wname = f"w{i}"
-        inits += _len_field(5, _tensor_bytes(wname, w))
-        conv_inputs = [prev, wname]
+        if style == "pytorch":
+            wname = f"models.{i}.conv{i}.weight"
+        else:
+            wname = f"w{i}"
+        init_list.append((wname, w))
+        conv_inputs = [src, wname]
         if "bias" in _tree_get(params, conv_path):
-            bname = f"b{i}"
-            inits += _len_field(
-                5, _tensor_bytes(bname, _tree_get(params, conv_path)["bias"]))
+            bname = (f"models.{i}.conv{i}.bias" if style == "pytorch"
+                     else f"b{i}")
+            init_list.append((bname, _tree_get(params, conv_path)["bias"]))
             conv_inputs.append(bname)
         conv_out = f"conv{i}"
-        nodes += _len_field(1, _node_bytes("Conv", f"Conv_{i}",
-                                           conv_inputs, [conv_out]))
-        prev = conv_out
+        node_list.append(("Conv", f"Conv_{i}", conv_inputs, [conv_out]))
+        out = conv_out
         if has_bn:
             bn_path = path_ + "/BatchNorm_0"
             bn_in = [conv_out]
-            for j, (leaf, tree) in enumerate((("scale", params),
-                                              ("bias", params),
-                                              ("mean", stats),
-                                              ("var", stats))):
-                tname = f"bn{i}_{j}"
-                inits += _len_field(
-                    5, _tensor_bytes(tname, _tree_get(tree, bn_path)[leaf]))
+            leaf_names = (("scale", params, "weight"),
+                          ("bias", params, "bias"),
+                          ("mean", stats, "running_mean"),
+                          ("var", stats, "running_var"))
+            for j, (leaf, tree, torch_leaf) in enumerate(leaf_names):
+                tname = (f"models.{i}.bn{i}.{torch_leaf}"
+                         if style == "pytorch" else f"bn{i}_{j}")
+                init_list.append((tname, _tree_get(tree, bn_path)[leaf]))
                 bn_in.append(tname)
             bn_out = f"bn{i}"
-            nodes += _len_field(1, _node_bytes(
-                "BatchNormalization", f"BN_{i}", bn_in, [bn_out]))
+            node_list.append(("BatchNormalization", f"BN_{i}", bn_in,
+                              [bn_out]))
             relu_out = f"lrelu{i}"
-            nodes += _len_field(1, _node_bytes(
-                "LeakyRelu", f"LeakyRelu_{i}", [bn_out], [relu_out]))
-            prev = relu_out
+            node_list.append(("LeakyRelu", f"LeakyRelu_{i}", [bn_out],
+                              [relu_out]))
+            out = relu_out
         # sprinkle the structural ops a real export interleaves
         if path_ in ("CSPBlock_0/ConvBN_2", "CSPBlock_1/ConvBN_2",
                      "CSPBlock_2/ConvBN_2"):
             cat = f"cat{i}"
-            nodes += _len_field(1, _node_bytes("Concat", f"Concat_{i}",
-                                               [prev, prev], [cat]))
+            node_list.append(("Concat", f"Concat_{i}", [out, out], [cat]))
             mp = f"mp{i}"
-            nodes += _len_field(1, _node_bytes("MaxPool", f"MaxPool_{i}",
-                                               [cat], [mp]))
-            prev = mp
+            node_list.append(("MaxPool", f"MaxPool_{i}", [cat], [mp]))
+            out = mp
         if path_ == "ConvBN_8":
             up = f"up{i}"
-            nodes += _len_field(1, _node_bytes("Resize", f"Resize_{i}",
-                                               [prev], [up]))
-            prev = up
+            if style == "pytorch":
+                # real Resize: (X, roi, scales) with scales an initializer
+                init_list.append(
+                    ("resize_scales",
+                     np.asarray([1.0, 1.0, 2.0, 2.0], np.float32)))
+                node_list.append(("Resize", f"Resize_{i}",
+                                  [out, "", "resize_scales"], [up]))
+            else:
+                node_list.append(("Resize", f"Resize_{i}", [out], [up]))
+            out = up
+        return out
+
+    order = list(enumerate(_CONV_ORDER))
+    if style == "pytorch":
+        # serialize the 26-grid neck branch (ConvBN_8/9, head_26) BEFORE
+        # the 13-grid one (ConvBN_7, head_13): topologically valid, but
+        # the serialized conv order no longer matches darknet order.
+        backbone = order[:16]            # up to and incl. ConvBN_6
+        b13 = [order[16], order[17]]     # ConvBN_7, head_13
+        b26 = order[18:]                 # ConvBN_8, ConvBN_9, head_26
+        order = backbone + b26 + b13
+    prev = "input"
+    fork = None
+    for i, (path_, has_bn) in order:
+        if path_ in ("ConvBN_7", "ConvBN_8"):
+            if fork is None:
+                fork = prev              # both neck branches eat ConvBN_6
+            src = fork
+        else:
+            src = prev
+        prev = emit_conv(i, path_, has_bn, src)
+
+    if style == "pytorch":
+        # decode subgraph: the exporter's get_region_boxes tail
+        # (sigmoid/exp/slice/mul soup ending in boxes/confs).
+        head13, head26 = "conv17", "conv20"
+        node_list += [
+            ("Slice", "dec_slice_xy", [head13], ["d_xy"]),
+            ("Sigmoid", "dec_sig_xy", ["d_xy"], ["d_sxy"]),
+            ("Slice", "dec_slice_wh", [head13], ["d_wh"]),
+            ("Exp", "dec_exp_wh", ["d_wh"], ["d_ewh"]),
+            ("Mul", "dec_mul_wh", ["d_ewh", "anchor_grid"], ["d_mwh"]),
+            ("Sigmoid", "dec_sig_conf", [head26], ["d_conf"]),
+            ("Concat", "dec_cat_boxes", ["d_sxy", "d_mwh"], ["boxes"]),
+            ("Concat", "dec_cat_confs", ["d_conf", "d_conf"], ["confs"]),
+        ]
+        init_list.append(
+            ("anchor_grid", np.ones((1, 3, 13, 13, 2), np.float32)))
+        # initializers in shuffled (non-execution) order — real torch
+        # exports do not promise execution-ordered initializers
+        rng = np.random.default_rng(41)
+        init_list = [init_list[k]
+                     for k in rng.permutation(len(init_list))]
+
+    nodes = b""
+    for op, name, ins, outs in node_list:
+        nodes += _len_field(1, _node_bytes(op, name, ins, outs))
+    inits = b""
+    for name, arr in init_list:
+        inits += _len_field(5, _tensor_bytes(name, arr))
 
     graph = nodes + inits + _len_field(2, b"yolov4_tiny_fixture")
     model = (_tag(1, _WIRE_VARINT) + _write_varint(8)     # ir_version

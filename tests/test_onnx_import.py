@@ -104,3 +104,73 @@ def test_shape_mismatch_raises(tmp_path):
         jax.random.PRNGKey(0), yolov4_tiny.YoloConfig(num_classes=5))
     with pytest.raises(ValueError, match="shape"):
         onnx_import.import_yolov4_tiny(path, small)
+
+
+def test_pytorch_export_topology_roundtrip(tmp_path):
+    """The pytorch-YOLOv4 lineage fixture (VERDICT r2 #7): darknet-
+    indexed initializer names, initializers serialized in shuffled
+    order, the 26-grid neck branch serialized before the 13-grid one
+    (so serialized conv order is WRONG and only name-based mapping
+    recovers darknet order), a 3-input Resize with a scales
+    initializer, and a decode subgraph ending in boxes/confs."""
+    cfg = yolov4_tiny.YoloConfig()
+    src = yolov4_tiny.init_params(jax.random.PRNGKey(3), cfg)
+    dst = yolov4_tiny.init_params(jax.random.PRNGKey(4), cfg)
+
+    path = str(tmp_path / "yolov4_1_3_416_416_static.onnx")
+    onnx_import.export_yolov4_tiny(src, path, style="pytorch")
+
+    # the fixture really is adversarial: serialized conv order != darknet
+    nodes, inits = onnx_import.load_graph(path)
+    conv_ws = [n["inputs"][1] for n in nodes if n["op_type"] == "Conv"]
+    idx = [onnx_import._darknet_layer_index(w) for w in conv_ws]
+    assert idx != sorted(idx), "fixture should shuffle the neck branches"
+    assert any(n["op_type"] in ("Sigmoid", "Exp") for n in nodes)
+
+    imported = onnx_import.import_yolov4_tiny(path, dst)
+    for keypath, leaf in jax.tree_util.tree_leaves_with_path(src):
+        node = dict(imported)
+        for k in keypath:
+            node = node[k.key]
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(node),
+            err_msg=jax.tree_util.keystr(keypath))
+
+
+def test_unmatched_node_error_names_the_node(tmp_path):
+    """A mis-shaped conv must fail naming the FIRST unmatched node and
+    both shapes (actionable errors, not a generic zip mismatch)."""
+    src = yolov4_tiny.init_params(jax.random.PRNGKey(0),
+                                  yolov4_tiny.YoloConfig())
+    path = str(tmp_path / "bad_pt.onnx")
+    onnx_import.export_yolov4_tiny(src, path, style="pytorch")
+    small = yolov4_tiny.init_params(
+        jax.random.PRNGKey(0), yolov4_tiny.YoloConfig(num_classes=5))
+    with pytest.raises(ValueError, match="first unmatched node"):
+        onnx_import.import_yolov4_tiny(path, small)
+
+
+def test_wrong_conv_count_lists_convs(tmp_path):
+    src = yolov4_tiny.init_params(jax.random.PRNGKey(0),
+                                  yolov4_tiny.YoloConfig())
+    path = str(tmp_path / "truncated.onnx")
+    onnx_import.export_yolov4_tiny(src, path)
+    # truncate the model: re-serialize only the first 5 nodes
+    nodes, inits = onnx_import.load_graph(path)
+    keep = nodes[:5]
+    body = b""
+    for n in keep:
+        body += onnx_import._len_field(1, onnx_import._node_bytes(
+            n["op_type"], n["name"], n["inputs"], n["outputs"]))
+    for name, arr in inits.items():
+        body += onnx_import._len_field(
+            5, onnx_import._tensor_bytes(name, arr))
+    blob = (onnx_import._tag(1, 0) + onnx_import._write_varint(8)
+            + onnx_import._len_field(7, body))
+    bad = str(tmp_path / "short.onnx")
+    with open(bad, "wb") as f:
+        f.write(blob)
+    with pytest.raises(ValueError, match="expected 21 Conv"):
+        onnx_import.import_yolov4_tiny(
+            bad, yolov4_tiny.init_params(jax.random.PRNGKey(1),
+                                         yolov4_tiny.YoloConfig()))
