@@ -8,6 +8,10 @@ Configs measured (BASELINE.json "configs"):
   3. full fusion (detect + associate + orientation + grid)
   4. streaming 10 Hz sequence with temporal decay (achieved Hz, 1 rig)
   5. batched rigs, full fusion (the headline fused frames/s)
+  5b. compat-grade line: float32 + exact kNN + compat=True (the config
+      the parity evidence attaches to)
+  6. shared world grid (8 rigs -> 1 grid), K=8 scan-chained ticks per
+     dispatch (SharedGrid.call_chunk)
 
 The headline single-line bench for the driver stays in bench.py; this
 suite writes a JSON dict of all metrics for profiling across rounds.
@@ -227,6 +231,78 @@ def main():
     results["fused_frames_per_sec"] = time_chunks(
         run5, unit_count=args.rigs * 4)
     log(f"config5 {results['fused_frames_per_sec']:.0f} fused frames/s")
+
+    # ---- config 5b: compat-grade line (VERDICT r2 #5) -------------------
+    # Exact kNN (knn_backend="xla"), float32 compute, compat=True — the
+    # configuration whose outputs the parity evidence (tools/
+    # parity_report.py, oracle tests) attaches to. Slower than the bf16
+    # fast path by design; recorded so throughput claims exist for
+    # reference-exact semantics too.
+    ccfg5 = GridVisionConfig(max_points=8192, compute_dtype="float32")
+    eng5 = pipeline.Engine(ccfg5, seed=0)
+    vstep_c = jax.vmap(functools.partial(pipeline.step, cfg=ccfg5),
+                       in_axes=(None, 0, 0, None))
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def fleet_chunk_compat(params, states, obs, extr, key):
+        def body(s, kk):
+            ji = jax.random.uniform(kk, (), jnp.float32, -1, 1)
+            o = Obs(image=obs.image + ji, cloud=obs.cloud,
+                    has_image=obs.has_image, has_cloud=obs.has_cloud)
+            s2, _ = vstep_c(params, s, o, extr)
+            return s2, ()
+        states, _ = jax.lax.scan(
+            body, states, jax.random.split(key, 4))
+        return states
+
+    states_c = GridState.create_batch(ccfg5, args.rigs)
+    holder_c = {"s": states_c}
+
+    def run5c():
+        holder_c["s"] = fleet_chunk_compat(
+            eng5.params, holder_c["s"], obs_b, eng5.extrinsics,
+            jax.random.PRNGKey(3))
+        return holder_c["s"].log_odds
+
+    results["fused_frames_per_sec_compat_f32"] = time_chunks(
+        run5c, unit_count=args.rigs * 4)
+    log(f"config5b {results['fused_frames_per_sec_compat_f32']:.0f} "
+        "fused frames/s (compat f32, exact kNN)")
+
+    # ---- config 6: shared world grid, scan-chained (VERDICT r2 #4) ------
+    # 8 rigs -> ONE world grid; K=8 ticks per dispatch via
+    # SharedGrid.call_chunk. Unit = world ticks (each tick fuses all 8
+    # rigs); rig-frames/s = 8x this.
+    from jax.sharding import Mesh
+    from grid_vision_tpu.parallel.shared_grid import SharedGrid
+    from grid_vision_tpu.types import Extrinsics, tree_stack
+    n_hub = 8
+    hub_mesh = Mesh(np.array(jax.devices()[:1]).reshape(1), ("rig",))
+    sg = SharedGrid(cfg, n_rigs=n_hub, mesh=hub_mesh,
+                    params=eng.params,
+                    orientation_budget=3 * n_hub)
+    keys_h = jax.random.split(jax.random.PRNGKey(11), n_hub)
+    obs_hub = jax.jit(jax.vmap(functools.partial(synth_obs, cfg=cfg)))(
+        keys_h)
+    k_ticks = 8
+    obs_hub_c = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * k_ticks), obs_hub)
+    extr_hub = jax.vmap(lambda _: Extrinsics.identity())(
+        jnp.arange(n_hub))
+    lo_holder = {"lo": sg.init_grid()}
+
+    def run6():
+        lo, occ, _d = sg.call_chunk(lo_holder["lo"], obs_hub_c,
+                                    extr_hub, jax.random.PRNGKey(5))
+        lo_holder["lo"] = lo
+        return lo
+
+    results["world_grid_ticks_per_sec"] = time_chunks(
+        run6, unit_count=k_ticks)
+    results["world_grid_rig_frames_per_sec"] = (
+        results["world_grid_ticks_per_sec"] * n_hub)
+    log(f"config6 {results['world_grid_ticks_per_sec']:.0f} world "
+        f"ticks/s ({n_hub} rigs fused/tick, k={k_ticks} scan-chained)")
 
     # BASELINE.json tracked metric: every fused frame updates the whole
     # 500x200 grid (decay + hits + clamp + sigmoid per cell)

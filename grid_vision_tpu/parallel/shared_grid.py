@@ -176,6 +176,33 @@ class SharedGrid:
 
         self._step = _step
 
+        # K-tick scan-chained variant (one dispatch per K world ticks):
+        # the fusion hub's answer to Engine.call_packed_chunk — on a
+        # ~15 ms-per-dispatch host link, per-tick dispatch rate-caps the
+        # hub at ~55 Hz regardless of compute; scanning K ticks inside
+        # one dispatch amortizes it to nothing at the price of K-tick
+        # output latency. Semantics are EXACTLY K sequential _step calls
+        # (tested); only the final grid/occupancy materialize, plus the
+        # summed dropped count.
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P(), P(), P(None, "rig"), P("rig"), P(None, "rig")),
+            out_specs=(P(), P(), P()))
+        def _chunk(params, log_odds, obs_c, extr_b, keys_c):
+            def body(lo, xs):
+                obs_b, keys = xs
+                lo2, _occ, dropped = shared_grid_step(
+                    params, lo, obs_b, extr_b, keys, cfg,
+                    axis_name="rig", poses_fn=poses_fn,
+                    orientation_budget=orientation_budget)
+                return lo2, dropped
+            lo, drops = jax.lax.scan(body, log_odds, (obs_c, keys_c))
+            lo, occ = rasterize._finish(lo, cfg)   # idempotent on lo
+            return lo, occ, jnp.sum(drops)
+
+        self._chunk = _chunk
+
     def init_grid(self) -> jnp.ndarray:
         h, w = self.cfg.grid_size
         return jnp.zeros((h, w), jnp.float32)
@@ -186,3 +213,16 @@ class SharedGrid:
         wide count of detections lost to orientation_budget this tick."""
         keys = jax.random.split(step_key, self.n_rigs)
         return self._step(self.params, log_odds, obs_b, extr_b, keys)
+
+    def call_chunk(self, log_odds: jnp.ndarray, obs_c: Obs,
+                   extr_b: Extrinsics, step_key: jnp.ndarray):
+        """K world ticks in ONE dispatch (lax.scan inside the mesh).
+
+        obs_c carries a leading (K, n_rigs) axis pair; the key stream
+        matches K sequential __call__ ticks (split K times, then per
+        rig). Returns (log_odds', occupancy', dropped_total)."""
+        k = jax.tree_util.tree_leaves(obs_c)[0].shape[0]
+        keys_c = jax.vmap(
+            lambda kk: jax.random.split(kk, self.n_rigs))(
+                jax.random.split(step_key, k))
+        return self._chunk(self.params, log_odds, obs_c, extr_b, keys_c)

@@ -122,17 +122,27 @@ class FleetServer:
     def __init__(self, name: str, cfg: GridVisionConfig, n_rigs: int,
                  publish_every: int = 1, overlay: bool = False,
                  mesh=None, shared: bool = False,
-                 rig_extrinsics=None):
+                 rig_extrinsics=None, chunk: int = 1):
         """shared=True runs as a FUSION HUB: all rigs' evidence merges
         into ONE world grid (parallel/shared_grid.py; rig_extrinsics is
         an optional list of per-rig Extrinsics placing each sensor in
         the world frame) published as session "<name>-world"; otherwise
-        each rig keeps its own grid and session (the fleet shape)."""
+        each rig keeps its own grid and session (the fleet shape).
+
+        chunk>1 (shared mode only) scan-chains K world ticks into ONE
+        device dispatch (SharedGrid.call_chunk) — throughput mode for a
+        latency-bound host link, at the price of K-tick output latency
+        (mirrors Engine.call_packed_chunk)."""
         self.name = name
         self.cfg = cfg
         self.n_rigs = n_rigs
         self.publish_every = publish_every
         self.shared = shared
+        if chunk > 1 and not shared:
+            raise ValueError("chunk>1 requires shared=True (the per-rig "
+                             "fleet already scans internally)")
+        self.chunk = max(int(chunk), 1)
+        self._obs_buf: List[Obs] = []
         if shared:
             from ..parallel.shared_grid import SharedGrid
             from ..types import Extrinsics
@@ -213,9 +223,20 @@ class FleetServer:
     def step(self, i: int) -> None:
         if self.shared:
             obs = self.poll_batch()
-            self.world_lo, occ, dropped = self.grid(
-                self.world_lo, obs, self._extr_b,
-                jax.random.PRNGKey(i))
+            if self.chunk > 1:
+                self._obs_buf.append(obs)
+                if len(self._obs_buf) < self.chunk:
+                    return
+                from ..types import tree_stack
+                obs_c = tree_stack(self._obs_buf)
+                self._obs_buf.clear()
+                self.world_lo, occ, dropped = self.grid.call_chunk(
+                    self.world_lo, obs_c, self._extr_b,
+                    jax.random.PRNGKey(i))
+            else:
+                self.world_lo, occ, dropped = self.grid(
+                    self.world_lo, obs, self._extr_b,
+                    jax.random.PRNGKey(i))
             # accumulate on device (async add); readback only at
             # publish cadence — a per-tick device_get would rate-cap
             # the hub on this tunnel's 50ms+ readback latency
@@ -320,6 +341,10 @@ def main(argv=None):
     ap.add_argument("--shared", action="store_true",
                     help="fusion-hub mode: all rigs merge into ONE "
                          "world grid (view --session NAME-world)")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="shared mode: scan-chain K world ticks per "
+                         "device dispatch (throughput mode; K-tick "
+                         "output latency)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -330,7 +355,7 @@ def main(argv=None):
            else GridVisionConfig())
     server = FleetServer(args.name, cfg, args.rigs,
                          publish_every=args.publish_every,
-                         shared=args.shared)
+                         shared=args.shared, chunk=args.chunk)
     stop = threading.Event()
     if args.selftest:
         selftest_producers(args.name, cfg, args.rigs, args.hz, stop)
