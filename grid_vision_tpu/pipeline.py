@@ -278,7 +278,7 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
         # pose slots are the compacted dynamic batch; realign depths
         # (the compaction is deterministic in boxes, so this matches
         # both the in-fuse and the fleet-injected pose paths)
-        _, take_idx = _compact_dynamic(boxes, poses_cam.capacity)
+        dyn_boxes, take_idx = _compact_dynamic(boxes, poses_cam.capacity)
         depths_c = depths[take_idx]
         z = poses_cam.position[:, 2]
         # the kNN median depth samples the object's NEAR surface; the
@@ -295,8 +295,18 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
                           + across * poses_cam.width)
         ok = (poses_cam.valid & (depths_c > 0.0) & (z > 0.5)
               & obs.has_cloud)
+        # Fallback when no kNN depth exists for this box (sparse/absent
+        # cloud): the classic monocular height cue depth = fy * H / h_px
+        # using the MultiBin metric height (class prior + trained
+        # residual) and the 2D box's pixel height — bounded-error range
+        # instead of the raw solver's meter-scale tail.
+        h_px = dyn_boxes.xyxy[:, 3] - dyn_boxes.xyxy[:, 1]
+        depth_mono = (K[1, 1] * poses_cam.height
+                      / jnp.maximum(h_px, 1.0))
+        ok_mono = poses_cam.valid & (h_px > 4.0) & (z > 0.5)
         scale = jnp.where(
-            ok, (depths_c + half_ext) / jnp.maximum(z, 0.5), 1.0)
+            ok, (depths_c + half_ext) / jnp.maximum(z, 0.5),
+            jnp.where(ok_mono, depth_mono / jnp.maximum(z, 0.5), 1.0))
         poses_cam = LShapePoses(
             position=poses_cam.position * scale[:, None],
             quat=poses_cam.quat, length=poses_cam.length,

@@ -95,10 +95,16 @@ def yolo_loss(variables, images, tgt_boxes, tgt_class, tgt_pos,
 
 
 def multibin_loss(variables, crops, tgt_dims, tgt_bin, tgt_angle_offset,
+                  dim_weight=None, angle_weight=None, *,
                   cfg: orientation_net.OrientationConfig,
                   train: bool = True):
     """crops (B,224,224,3); tgt_dims (B,3) residuals; tgt_bin (B,) int;
-    tgt_angle_offset (B,) residual angle within the bin."""
+    tgt_angle_offset (B,) residual angle within the bin.
+
+    dim_weight / angle_weight (B,) gate which head each sample trains
+    (default: both). Lets one batch mix synthetic oriented crops (angle
+    signal, no metric size cue -> dim_weight 0) with metric scene crops
+    (true dims residuals, degenerate yaw -> angle_weight 0)."""
     model = orientation_net.make_model(cfg)
     if train:
         (orient, conf, dims), mutated = model.apply(
@@ -107,13 +113,17 @@ def multibin_loss(variables, crops, tgt_dims, tgt_bin, tgt_angle_offset,
         orient, conf, dims = model.apply(variables, crops, train=False)
         mutated = {}
 
-    dim_loss = jnp.mean(jnp.sum((dims - tgt_dims) ** 2, axis=-1))
-    conf_loss = jnp.mean(
-        -jax.nn.log_softmax(conf)[jnp.arange(conf.shape[0]), tgt_bin])
-    sel = orient[jnp.arange(orient.shape[0]), tgt_bin]        # (B, 2) cos,sin
-    orient_loss = jnp.mean(
-        1.0 - (sel[:, 0] * jnp.cos(tgt_angle_offset)
-               + sel[:, 1] * jnp.sin(tgt_angle_offset)))
+    b = crops.shape[0]
+    dw = jnp.ones(b) if dim_weight is None else dim_weight
+    aw = jnp.ones(b) if angle_weight is None else angle_weight
+    dim_loss = (jnp.sum(dw * jnp.sum((dims - tgt_dims) ** 2, axis=-1))
+                / jnp.maximum(jnp.sum(dw), 1.0))
+    conf_nll = -jax.nn.log_softmax(conf)[jnp.arange(b), tgt_bin]
+    conf_loss = jnp.sum(aw * conf_nll) / jnp.maximum(jnp.sum(aw), 1.0)
+    sel = orient[jnp.arange(b), tgt_bin]                      # (B, 2) cos,sin
+    orient_err = 1.0 - (sel[:, 0] * jnp.cos(tgt_angle_offset)
+                        + sel[:, 1] * jnp.sin(tgt_angle_offset))
+    orient_loss = jnp.sum(aw * orient_err) / jnp.maximum(jnp.sum(aw), 1.0)
     loss = 4.0 * dim_loss + conf_loss + 8.0 * orient_loss
     aux = {"dim_loss": dim_loss, "conf_loss": conf_loss,
            "orient_loss": orient_loss}

@@ -32,7 +32,8 @@ CLASS_COLORS = np.array([
     [2, 40, 200, 80],     # person: green-ish
     [0, 60, 80, 230],     # bike: blue-ish
     [1, 200, 180, 40],    # motorbike: yellow-ish
-    [3, 110, 250, 30],    # green light: lime
+    [3, 150, 255, 20],    # green light: lime (kept far from person-green
+                          #  in R: 150 vs 40)
     [4, 250, 130, 20],    # orange light: orange
     [5, 230, 40, 160],    # red light: magenta-ish
     [6, 40, 220, 220],    # sign 30: cyan-ish
