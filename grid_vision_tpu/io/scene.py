@@ -51,8 +51,10 @@ class SyntheticScene:
     def add_default_traffic(self) -> None:
         self.add_object([1.5, 1.1, 12.0], [0.0, 0.0, -2.0],
                         (1.8, 1.4, 4.2), 9)   # approaching vehicle
-        self.add_object([-2.5, 1.3, 18.0], [0.5, 0.0, 0.0],
-                        (0.6, 1.0, 0.6), 2)   # crossing person
+        self.add_object([-2.5, 0.95, 18.0], [0.5, 0.0, 0.0],
+                        (0.5, 1.7, 0.5), 2)   # crossing person (standard
+                                              #  1.7 m pedestrian, feet on
+                                              #  the ground plane)
 
     def add_default_statics(self) -> None:
         """Fixed roadside furniture covering the static classes the

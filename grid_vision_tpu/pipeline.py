@@ -293,20 +293,36 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
         across = jnp.abs(ux * jnp.sin(o) + uz * jnp.cos(o))
         half_ext = 0.5 * (along * poses_cam.length
                           + across * poses_cam.width)
-        ok = (poses_cam.valid & (depths_c > 0.0) & (z > 0.5)
-              & obs.has_cloud)
-        # Fallback when no kNN depth exists for this box (sparse/absent
-        # cloud): the classic monocular height cue depth = fy * H / h_px
-        # using the MultiBin metric height (class prior + trained
-        # residual) and the 2D box's pixel height — bounded-error range
-        # instead of the raw solver's meter-scale tail.
+        ok_knn = (poses_cam.valid & (depths_c > 0.0) & (z > 0.5)
+                  & obs.has_cloud)
+        # Monocular height-cue range: depth = fy * H / h_px with the
+        # MultiBin metric height (class prior + trained residual) and
+        # the 2D box's pixel height. Two jobs: (a) fallback when no kNN
+        # cloud depth exists (sparse/absent cloud); (b) occlusion gate —
+        # the kNN median at the bbox center belongs to the OCCLUDER when
+        # boxes overlap (measured: a 3x range underestimate tail), and
+        # pixel height is immune to that, so a kNN depth inconsistent
+        # with the height cue is rejected in favor of the cue.
         h_px = dyn_boxes.xyxy[:, 3] - dyn_boxes.xyxy[:, 1]
+        # The 2D box's top/bottom edges are both set by the NEAR face of
+        # the 3D box (more extreme projection at smaller z), so the
+        # height cue estimates the near-surface depth — the same
+        # convention as the kNN median; both get the half-footprint
+        # push-out to the center.
         depth_mono = (K[1, 1] * poses_cam.height
                       / jnp.maximum(h_px, 1.0))
         ok_mono = poses_cam.valid & (h_px > 4.0) & (z > 0.5)
+        knn_center = depths_c + half_ext
+        mono_center = depth_mono + half_ext
+        # One-sided: occlusion can only pull the kNN depth NEARER than
+        # the true range (the occluder is in front), and the height cue
+        # itself carries dims-prior error — so reject kNN only when it
+        # is clearly NEARER than the cue says, never when it is farther.
+        consistent = knn_center > 0.75 * mono_center
+        use_knn = ok_knn & (consistent | ~ok_mono)
         scale = jnp.where(
-            ok, (depths_c + half_ext) / jnp.maximum(z, 0.5),
-            jnp.where(ok_mono, depth_mono / jnp.maximum(z, 0.5), 1.0))
+            use_knn, knn_center / jnp.maximum(z, 0.5),
+            jnp.where(ok_mono, mono_center / jnp.maximum(z, 0.5), 1.0))
         poses_cam = LShapePoses(
             position=poses_cam.position * scale[:, None],
             quat=poses_cam.quat, length=poses_cam.length,

@@ -170,6 +170,13 @@ class FleetServer:
             np.zeros((cfg.camera_image_height, cfg.camera_image_width, 3),
                      np.float32) for _ in range(n_rigs)]
         self.parse_errors = 0
+        # Cumulative fleet-wide saturation telemetry (StepOutput
+        # .saturation summed over rigs at every publish cadence): the
+        # serving-layer view of the capacity clamps (pre-NMS top-k, Q7
+        # orientation clamp, per-box cloud truncation, budget drops).
+        self.saturation_totals = {
+            "prenms_overflow": 0, "orientation_clamped": 0,
+            "box_cloud_truncated": 0, "orientation_dropped": 0}
 
     def poll_batch(self) -> Obs:
         """Latest-wins read of every rig's mailboxes -> batched host Obs
@@ -251,6 +258,9 @@ class FleetServer:
         self.states, outs = self.fleet(self.states, obs)
         if i % self.publish_every == 0:
             outs = jax.device_get(outs)
+            for k in self.saturation_totals:
+                self.saturation_totals[k] += int(
+                    np.sum(getattr(outs.saturation, k)))
             for r in range(self.n_rigs):
                 out_r = jax.tree_util.tree_map(lambda a: a[r], outs)
                 self._pubs[r].publish(i, out_r,

@@ -92,7 +92,17 @@ def test_shipped_detector_map_floor():
     cfg = GridVisionConfig(
         detection_weights_file="/weights/detector.npz")
     params = weights.load_all(cfg, base_dir=REPO)
-    synth = evaluate_detector(params, cfg, n_images=12, source="synth")
-    assert synth.map50 >= 0.85, synth.to_dict()
-    scene = evaluate_detector(params, cfg, n_images=8, source="scene")
-    assert scene.map50 >= 0.65, scene.to_dict()
+    # Floors at measured-minus-margin (VERDICT r2 #8): shipped weights
+    # measure 0.988 synth / 0.872 scene over 64 images with per-class
+    # AP >= 0.93 / >= 0.61 across ALL TEN classes (docs/QUALITY.md).
+    synth = evaluate_detector(params, cfg, n_images=50, source="synth")
+    assert synth.map50 >= 0.95, synth.to_dict()
+    scene = evaluate_detector(params, cfg, n_images=50, source="scene")
+    assert scene.map50 >= 0.80, scene.to_dict()
+    # every class of the 10-class taxonomy must appear in the held-out
+    # ground truth and be detected at nonzero AP
+    import numpy as np
+    for res in (synth, scene):
+        assert len(res.per_class_ap) == 10, res.per_class_ap
+        for name, ap in res.per_class_ap.items():
+            assert not np.isnan(ap) and ap > 0.3, (name, res.per_class_ap)

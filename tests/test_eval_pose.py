@@ -19,9 +19,11 @@ def small_cfg(**kw):
 
 
 def test_pca_pose_quality_floor():
-    res = evaluate_poses("pca", n_frames=6, cfg=small_cfg())
-    assert res["n_matched"] > 0
-    assert res["pos_err_median_m"] < 1.5, res
+    """Full-resolution camera, measured-minus-margin floor (VERDICT r2
+    #8): measured 0.041 m median over 10 frames / 33 objects."""
+    res = evaluate_poses("pca", n_frames=10)
+    assert res["n_matched"] >= 20
+    assert res["pos_err_median_m"] < 0.10, res
 
 
 def test_refine_improves_vision_localization():

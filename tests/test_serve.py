@@ -173,3 +173,25 @@ def test_server_close_unlinks_sensor_mailboxes():
     server.close(unlink=True)
     for p in paths:
         assert not os.path.exists(p), f"stale mailbox left behind: {p}"
+
+
+def test_selftest_surfaces_saturation_telemetry():
+    """The serving layer must surface the pipeline's saturation
+    telemetry (capacity clamps), not swallow it: after a selftest spin
+    the cumulative counters exist and are sane (>= 0; zero on this tiny
+    scene)."""
+    cfg = small_cfg()
+    name = "gvtest-serve-sat"
+    server = FleetServer(name, cfg, n_rigs=2, mesh=_mesh2())
+    stop = threading.Event()
+    try:
+        selftest_producers(name, cfg, 2, hz=20.0, stop=stop)
+        time.sleep(0.3)
+        server.spin(steps=3, hz=50.0)
+        sat = server.saturation_totals
+        assert set(sat) == {"prenms_overflow", "orientation_clamped",
+                            "box_cloud_truncated", "orientation_dropped"}
+        assert all(isinstance(v, int) and v >= 0 for v in sat.values()), sat
+    finally:
+        stop.set()
+        server.close()

@@ -64,25 +64,30 @@ def test_shipped_orientation_recovers_angle():
         input_size=cfg.network_height, width=cfg.orientation_width,
         compute_dtype=jnp.float32)
 
-    # render an oriented crop exactly like the trainer
-    from grid_vision_tpu.train.fit_orientation import main  # noqa: F401
+    # render a batch of oriented crops exactly like the trainer, spread
+    # over the angle range; floor at measured-minus-margin (median
+    # measured 2.2 deg, docs/QUALITY.md — VERDICT r2 #8 tightening)
     size = 224
-    alpha = 0.8
-    yy = (np.arange(size)[:, None] / size - 0.5) * 2
-    xx = (np.arange(size)[None, :] / size - 0.5) * 2
-    c, s = np.cos(alpha), np.sin(alpha)
-    u = c * xx + s * yy
-    v = -s * xx + c * yy
-    inside = (np.abs(u) < 0.35) & (np.abs(v) < 0.25)
-    grad = (u / 0.35 + 1) / 2
-    img = np.where(inside[..., None], (0.3 + 0.7 * grad)[..., None]
-                   * np.array([0.8, 0.6, 0.4]), 0.1).astype(np.float32)
-    mean = img.mean((0, 1), keepdims=True)
-    std = img.std((0, 1), keepdims=True)
-    crop = (img - mean) / np.maximum(std, 1e-6)
+    alphas = np.linspace(-np.pi + 0.2, np.pi - 0.2, 16)
+    crops = []
+    for alpha in alphas:
+        yy = (np.arange(size)[:, None] / size - 0.5) * 2
+        xx = (np.arange(size)[None, :] / size - 0.5) * 2
+        c, s = np.cos(alpha), np.sin(alpha)
+        u = c * xx + s * yy
+        v = -s * xx + c * yy
+        inside = (np.abs(u) < 0.35) & (np.abs(v) < 0.25)
+        grad = (u / 0.35 + 1) / 2
+        img = np.where(inside[..., None], (0.3 + 0.7 * grad)[..., None]
+                       * np.array([0.8, 0.6, 0.4]), 0.1).astype(np.float32)
+        mean = img.mean((0, 1), keepdims=True)
+        std = img.std((0, 1), keepdims=True)
+        crops.append((img - mean) / np.maximum(std, 1e-6))
 
     orient, conf, dims = orientation_net.forward(
-        params["orientation"], jnp.asarray(crop)[None], ocfg)
-    alpha_hat = float(multibin.compute_alpha(orient, conf)[0])
-    err = abs(np.angle(np.exp(1j * (alpha_hat - alpha))))
-    assert err < np.radians(15), f"angle error {np.degrees(err):.1f} deg"
+        params["orientation"], jnp.asarray(np.stack(crops)), ocfg)
+    alpha_hat = np.asarray(multibin.compute_alpha(orient, conf))
+    err = np.abs(np.angle(np.exp(1j * (alpha_hat - alphas))))
+    med = float(np.median(err))
+    assert med < np.radians(5), \
+        f"median angle error {np.degrees(med):.1f} deg"

@@ -40,13 +40,17 @@ def test_scene_dataset_targets_consistent():
     from grid_vision_tpu.models.yolov4_tiny import YoloConfig
     from grid_vision_tpu.train.scene_dataset import build_scene_dataset
 
-    imgs, tb, tc, tp = build_scene_dataset(4, GridVisionConfig(),
+    imgs, tb, tc, tp = build_scene_dataset(8, GridVisionConfig(),
                                            YoloConfig(), seed=9000)
     assert imgs.dtype == np.uint8 and imgs.shape[1:] == (480, 640, 3)
-    assert tp.sum() > 0, "no positive anchors in 4 frames"
+    assert tp.sum() > 0, "no positive anchors in 8 frames"
     pos = tp > 0
     labels = set(np.unique(tc[pos]).tolist())
-    assert labels <= {2, 9}, labels   # scene world: persons + vehicles
+    # 10-class scene world (add_random_traffic): every label is a real
+    # taxonomy id, and the random traffic spans beyond the two
+    # default-traffic classes
+    assert labels <= set(range(10)), labels
+    assert len(labels) > 2, labels
     # positive boxes are normalized and non-degenerate
     boxes = tb[pos]
     assert (boxes[:, 2] > boxes[:, 0]).all()
