@@ -318,7 +318,7 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
         # the true range (the occluder is in front), and the height cue
         # itself carries dims-prior error — so reject kNN only when it
         # is clearly NEARER than the cue says, never when it is farther.
-        consistent = knn_center > 0.75 * mono_center
+        consistent = knn_center > 0.8 * mono_center
         use_knn = ok_knn & (consistent | ~ok_mono)
         scale = jnp.where(
             use_knn, knn_center / jnp.maximum(z, 0.5),

@@ -28,11 +28,23 @@ def test_pca_pose_quality_floor():
 
 def test_refine_improves_vision_localization():
     """Full-resolution camera (the kNN depth needs real pixel density);
-    measured: median 5.2 m -> 0.9 m with refine (docs/QUALITY.md)."""
+    measured: median 3.5 m faithful -> 0.4 m with refine
+    (docs/QUALITY.md)."""
     base = evaluate_poses("vision", n_frames=5)
     ref = evaluate_poses("vision", n_frames=5, refine=True)
     assert ref["n_matched"] > 0
     assert ref["pos_err_median_m"] < base["pos_err_median_m"], (base, ref)
+
+
+def test_refine_quality_floor():
+    """Measured-minus-margin floor for the refine extension (VERDICT r2
+    #6 done-bar: median <= 0.5 m, p90 <= 2 m at 100 frames; measured
+    0.39 / 0.86 at 40 frames with the occlusion gate + shipped nets).
+    15 frames in-CI for runtime."""
+    res = evaluate_poses("vision", n_frames=15, refine=True)
+    assert res["n_matched"] >= 30
+    assert res["pos_err_median_m"] < 0.8, res
+    assert res["pos_err_p90_m"] < 2.5, res
 
 
 def test_refine_requires_compat_off():
