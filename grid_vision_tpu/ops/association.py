@@ -53,30 +53,46 @@ def knn_median_depth(uvd: jnp.ndarray, uvd_valid: jnp.ndarray,
     Returns (D,) float32 depths.
     """
     centers = boxes.centers()                                  # (D, 2)
-    d2 = (jnp.sum((centers[:, None, :] - uvd[None, :, :2]) ** 2, axis=-1)
-          + uvd[None, :, 2] ** 2)                              # (D, P)
-    d2 = jnp.where(uvd_valid[None, :], d2, jnp.inf)
-    # k iterative argmin passes instead of lax.top_k: top_k sorts the
-    # whole 8k-point axis per box; k cheap reduction passes are faster
-    # on TPU for the small k_near values in play (4-10). The loop is
-    # UNROLLED (python for, k is static) rather than lax.scan: a scan
-    # would carry the masked (D, P) matrix through HBM every pass, while
-    # the unrolled chain lets XLA fuse the masking into recomputation.
-    cols = jnp.arange(d2.shape[1], dtype=jnp.int32)
-    cur = d2
-    vals, idxs = [], []
-    for _ in range(k):
-        j = jnp.argmin(cur, axis=-1)                           # (D,)
-        vals.append(jnp.take_along_axis(cur, j[:, None], axis=-1)[:, 0])
-        idxs.append(j)
-        cur = jnp.where(cols[None, :] == j[:, None], jnp.inf, cur)
-    neg_d2 = -jnp.stack(vals, axis=-1)                         # (D, k)
-    idx = jnp.stack(idxs, axis=-1).astype(jnp.int32)           # (D, k)
-    neighbor_ok = jnp.isfinite(neg_d2)
+    d = centers.shape[0]
+    p = uvd.shape[0]
+    # EXACT k-NN as a chunked streaming top-k: the one-shot formulation
+    # (k argmin passes over the full (D, P) matrix, each re-masking it)
+    # moves ~(k+1) full matrices through HBM at fleet batch sizes — the
+    # round-3 device profile's compare_select pile. Processing P in
+    # static chunks with a carried (D, k) best set keeps every
+    # intermediate chunk-sized (fused in VMEM); results are identical
+    # including tie order: the merged candidate row is [prior bests |
+    # chunk] with bests first, and argmin takes the first occurrence,
+    # so equal-d2 ties still resolve to the lowest global point index.
+    chunk = min(p, 2048)
+    n_chunks = -(-p // chunk)
+    best_d = jnp.full((d, k), jnp.inf)
+    best_z = jnp.full((d, k), jnp.inf)
+    cols = jnp.arange(k + chunk, dtype=jnp.int32)
+    for c in range(n_chunks):
+        lo = c * chunk
+        uc = jax.lax.dynamic_slice_in_dim(uvd, lo, chunk, axis=0)
+        mc = jax.lax.dynamic_slice_in_dim(uvd_valid, lo, chunk, axis=0)
+        d2c = (jnp.sum((centers[:, None, :] - uc[None, :, :2]) ** 2,
+                       axis=-1) + uc[None, :, 2] ** 2)         # (D, C)
+        d2c = jnp.where(mc[None, :], d2c, jnp.inf)
+        cat_d = jnp.concatenate([best_d, d2c], axis=-1)        # (D, k+C)
+        cat_z = jnp.concatenate(
+            [best_z, jnp.broadcast_to(uc[None, :, 2], d2c.shape)],
+            axis=-1)
+        nd, nz = [], []
+        cur = cat_d
+        for _ in range(k):
+            j = jnp.argmin(cur, axis=-1)                       # (D,)
+            nd.append(jnp.take_along_axis(cur, j[:, None], axis=-1)[:, 0])
+            nz.append(jnp.take_along_axis(cat_z, j[:, None],
+                                          axis=-1)[:, 0])
+            cur = jnp.where(cols[None, :] == j[:, None], jnp.inf, cur)
+        best_d = jnp.stack(nd, axis=-1)
+        best_z = jnp.stack(nz, axis=-1)
+    neighbor_ok = jnp.isfinite(best_d)
     n_found = jnp.sum(neighbor_ok.astype(jnp.int32), axis=-1)  # (D,)
-    depths = jnp.take_along_axis(
-        jnp.broadcast_to(uvd[None, :, 2], d2.shape), idx, axis=-1)
-    depths = jnp.where(neighbor_ok, depths, jnp.inf)
+    depths = jnp.where(neighbor_ok, best_z, jnp.inf)
     depths_sorted = jnp.sort(depths, axis=-1)
     mid = jnp.clip(n_found // 2, 0, k - 1)
     median = jnp.take_along_axis(depths_sorted, mid[:, None], axis=-1)[:, 0]

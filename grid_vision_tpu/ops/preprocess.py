@@ -120,9 +120,13 @@ def crop_resize(image: jnp.ndarray, boxes: Boxes, out_size: int,
     wy = wy.astype(compute_dtype)
     wx = wx.astype(compute_dtype)
     img = image.astype(compute_dtype)
-    tmp = jnp.einsum("diy,yxc->dixc", wy, img,
+    # Contract the LONGER image axis first (x=640 at the default camera):
+    # stage-2 then sums over out_size instead of W — 25% fewer FLOPs and
+    # a 25% smaller intermediate than the y-first order at 480x640
+    # (same math, summation reordered).
+    tmp = jnp.einsum("djx,yxc->dyjc", wx, img,
                      preferred_element_type=jnp.float32)
-    crops = jnp.einsum("djx,dixc->dijc", wx, tmp.astype(compute_dtype),
+    crops = jnp.einsum("diy,dyjc->dijc", wy, tmp.astype(compute_dtype),
                        preferred_element_type=jnp.float32)
     return crops.astype(out_dtype) if out_dtype is not None else crops
 

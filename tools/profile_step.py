@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--scan", type=int, default=4)
     ap.add_argument("--out", default="/tmp/gv_trace")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--knn", default="approx",
+                    help="knn_backend: approx (bench.py) | xla (suite "
+                         "config 5, exact)")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +42,7 @@ def main():
 
     # Mirror bench.py's flagship configuration exactly.
     cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16",
-                           knn_backend="approx",
+                           knn_backend=args.knn,
                            detection_weights_file="weights/detector.npz",
                            vision_weights_file="weights/orientation.npz")
     eng = pipeline.Engine(cfg, seed=0)
