@@ -124,12 +124,16 @@ def main():
         ap.add_argument("--http", type=int, default=None, metavar="PORT")
         ap.add_argument("--seconds", type=float, default=None,
                         help="stop after N seconds (default: run forever)")
+        ap.add_argument("--mode", choices=("2d", "3d"), default="2d",
+                        help="terminal surface: top-down grid (2d) or "
+                             "the RViz-style orbit view (3d)")
         a = ap.parse_args(argv)
         from .runtime import viewer
         if a.http is not None:
             viewer.http_view(a.session, a.http, max_seconds=a.seconds)
         else:
-            viewer.terminal_view(a.session, max_seconds=a.seconds)
+            viewer.terminal_view(a.session, max_seconds=a.seconds,
+                                 mode=a.mode)
     elif cmd == "eval":
         from .train.eval_map import main as eval_main
         eval_main(argv)

@@ -5,12 +5,15 @@ MarkerArray + detections Image at 20 Hz). Two surfaces over the same
 cross-process session mailboxes (runtime/session.py):
 
   terminal   ANSI half-block render of the grid + markers in the tty,
-             refreshing in place at the session's own rate.
+             refreshing in place at the session's own rate (--mode 3d
+             renders the io/viz3d.py perspective view instead).
   http       a ThreadingHTTPServer streaming multipart PNG (MJPEG-style)
-             of the grid and the detection overlay to any browser, plus
-             /markers.json.
+             of the grid, the detection overlay, AND the 3D operator
+             view (/view3d.mjpg — the RViz orbit camera, rendered by
+             io/viz3d.py) to any browser, plus /markers.json.
 
     python -m grid_vision_tpu view --session demo            # terminal
+    python -m grid_vision_tpu view --session demo --mode 3d
     python -m grid_vision_tpu view --session demo --http 8400
 
 Rendering is pure numpy on the subscriber's copy; a slow viewer never
@@ -141,9 +144,19 @@ def ansi_halfblock(img: np.ndarray) -> str:
     return "\n".join(lines)
 
 
+def view3d_frame_rgb(frame: SessionFrame, width: int = 640,
+                     height: int = 480) -> np.ndarray:
+    """The RViz-style 3D operator view of a session frame (io/viz3d.py:
+    orbit camera, occupancy ground plane, marker cubes/spheres/text)."""
+    from ..io.viz3d import render_scene
+    return render_scene(frame.grid, frame.grid_meta, frame.markers,
+                        width=width, height=height)
+
+
 def terminal_view(session: str, max_seconds: Optional[float] = None,
-                  out=None) -> int:
+                  out=None, mode: str = "2d") -> int:
     """Render the session's grid in the tty until interrupted.
+    mode: "2d" top-down (default) or "3d" perspective (io/viz3d.py).
     Returns the number of frames drawn."""
     out = out or sys.stdout
     sub = SessionSubscriber(session)
@@ -158,7 +171,11 @@ def terminal_view(session: str, max_seconds: Optional[float] = None,
                 time.sleep(0.02)
                 continue
             cols, rows = shutil.get_terminal_size((120, 40))
-            img = grid_frame_rgb(frame)
+            if mode == "3d":
+                img = view3d_frame_rgb(frame, width=max(cols, 64),
+                                       height=max((rows - 2) * 2, 48))
+            else:
+                img = grid_frame_rgb(frame)
             img = _downsample_to(img, (rows - 2) * 2, cols)
             now = time.perf_counter()
             hz = 1.0 / max(now - t_last, 1e-6)
@@ -192,6 +209,8 @@ _INDEX_HTML = """<!doctype html>
 </style>
 <h1>grid-vision-tpu live session: {session}</h1>
 <div class=row>
+ <div><img src="/view3d.mjpg" width=640><div class=cap>
+   3D operator view (orbit camera)</div></div>
  <div><img src="/grid.mjpg" width=400><div class=cap>
    occupancy grid + markers (forward ↑)</div></div>
  <div><img src="/overlay.mjpg" width=640><div class=cap>
@@ -232,11 +251,12 @@ def http_view(session: str, port: int, max_seconds: Optional[float] = None,
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
-            elif self.path in ("/grid.png", "/overlay.png"):
+            elif self.path in ("/grid.png", "/overlay.png",
+                               "/view3d.png"):
                 sub = SessionSubscriber(session)
                 frame = self._frame(sub)
                 sub.close()
-                img = self._render(frame, self.path.startswith("/grid"))
+                img = self._render(frame, self.path)
                 if img is None:
                     self.send_error(404, "no frame yet")
                     return
@@ -246,7 +266,8 @@ def http_view(session: str, port: int, max_seconds: Optional[float] = None,
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
-            elif self.path in ("/grid.mjpg", "/overlay.mjpg"):
+            elif self.path in ("/grid.mjpg", "/overlay.mjpg",
+                               "/view3d.mjpg"):
                 self.send_response(200)
                 self.send_header(
                     "Content-Type",
@@ -258,8 +279,7 @@ def http_view(session: str, port: int, max_seconds: Optional[float] = None,
                              else time.perf_counter() + max_seconds)
                     while t_end is None or time.perf_counter() < t_end:
                         frame = self._frame(sub)
-                        img = self._render(frame,
-                                           self.path.startswith("/grid"))
+                        img = self._render(frame, self.path)
                         if img is not None:
                             body = png.encode_rgb(img)
                             self.wfile.write(
@@ -286,11 +306,13 @@ def http_view(session: str, port: int, max_seconds: Optional[float] = None,
                 self.send_error(404)
 
         @staticmethod
-        def _render(frame, is_grid: bool):
+        def _render(frame, path: str):
             if frame is None:
                 return None
-            if is_grid:
+            if path.startswith("/grid"):
                 return grid_frame_rgb(frame, scale=2)
+            if path.startswith("/view3d"):
+                return view3d_frame_rgb(frame)
             return frame.overlay
 
     class Server(socketserver.ThreadingMixIn, http.server.HTTPServer):

@@ -247,4 +247,8 @@ def test_http_view_endpoints(small_cfg, monkeypatch, tmp_path):
         f"http://127.0.0.1:{port}/overlay.png", timeout=2).read())
     assert over.shape == (small_cfg.camera_image_height,
                           small_cfg.camera_image_width, 3)
+    assert "view3d.mjpg" in index
+    v3d = png.decode_rgb(urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/view3d.png", timeout=2).read())
+    assert v3d.shape == (480, 640, 3)  # the 3D operator view
     pub.unlink()
