@@ -99,229 +99,274 @@ def main():
     ap.add_argument("--rigs", type=int, default=64)
     ap.add_argument("--out", default="BENCH_DETAIL.json")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma list of configs to run (1,2,3,4,5,5b,6);"
+                         " results merge into --out instead of replacing")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(tag):
+        return only is None or tag in only
 
     results = {}
+    if only is not None:
+        try:
+            with open(args.out) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            pass
     cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16")
     eng = pipeline.Engine(cfg, seed=0)
     obs1 = jax.jit(functools.partial(synth_obs, cfg=cfg))(
         jax.random.PRNGKey(7))
+    k = jax.random.PRNGKey(0)
+    scan5 = 8  # fleet-chunk scan depth (configs 5/5b). Dispatches are
+    # pipelined on this link: 16 measured the same rate as 8, so the
+    # lower-latency depth stays.
 
     # ---- config 1: cloud -> grid with raycast carve --------------------
-    # fused Pallas carve+update kernel (bit-equal to the XLA chain;
-    # ops/pallas_raycast.py — measured 2.5x the XLA path on hardware)
-    ccfg = GridVisionConfig(max_points=8192, compat=False,
-                            raycast_free_space=True,
-                            grid_backend="pallas")
-    origin = jnp.asarray([0.0, 0.0])
+    if want('1'):
+        # fused Pallas carve+update kernel (bit-equal to the XLA chain;
+        # ops/pallas_raycast.py — measured 2.5x the XLA path on hardware)
+        ccfg = GridVisionConfig(max_points=8192, compat=False,
+                                raycast_free_space=True,
+                                grid_backend="pallas")
+        origin = jnp.asarray([0.0, 0.0])
 
-    @jax.jit
-    def cloud_to_grid(lo, pts, key):
-        jitter = jax.random.uniform(key, (), jnp.float32, -0.01, 0.01)
-        return raycast.lshape_update_with_carving(
-            lo, LShapePoses.empty(8), origin, pts[:, :2] + jitter,
-            jnp.ones(pts.shape[0], bool), ccfg)[0]
+        @jax.jit
+        def cloud_to_grid(lo, pts, key):
+            jitter = jax.random.uniform(key, (), jnp.float32, -0.01, 0.01)
+            return raycast.lshape_update_with_carving(
+                lo, LShapePoses.empty(8), origin, pts[:, :2] + jitter,
+                jnp.ones(pts.shape[0], bool), ccfg)[0]
 
-    lo = GridState.create(ccfg).log_odds
-    pts_base = jnp.stack([obs1.cloud.xyz[:, 2], obs1.cloud.xyz[:, 0],
-                          obs1.cloud.xyz[:, 1]], -1)
-    k = jax.random.PRNGKey(0)
+        lo = GridState.create(ccfg).log_odds
+        pts_base = jnp.stack([obs1.cloud.xyz[:, 2], obs1.cloud.xyz[:, 0],
+                              obs1.cloud.xyz[:, 1]], -1)
 
-    def run1(lo):
-        return cloud_to_grid(lo, pts_base, k)
+        def run1(lo):
+            return cloud_to_grid(lo, pts_base, k)
 
-    results["cloud_to_grid_raycast_fps"] = time_chunks(run1, lo)
-    log(f"config1 {results['cloud_to_grid_raycast_fps']:.0f} scans/s")
+        results["cloud_to_grid_raycast_fps"] = time_chunks(run1, lo)
+        log(f"config1 {results['cloud_to_grid_raycast_fps']:.0f} scans/s")
 
     # ---- config 2: detect + NMS latency --------------------------------
-    ycfg = yolov4_tiny.YoloConfig()
+    if want('2'):
+        ycfg = yolov4_tiny.YoloConfig()
 
-    @jax.jit
-    def detect_nms(params, img, key):
-        img = img + jax.random.uniform(key, (), jnp.float32, -1, 1)
-        from grid_vision_tpu.ops.preprocess import preprocess_detector_image
-        net = preprocess_detector_image(img, cfg.resize)
-        b, c = yolov4_tiny.forward(params["detector"], net[None], ycfg)
-        return extract_boxes(b[0], c[0], cfg).xyxy
+        @jax.jit
+        def detect_nms(params, img, key):
+            img = img + jax.random.uniform(key, (), jnp.float32, -1, 1)
+            from grid_vision_tpu.ops.preprocess import preprocess_detector_image
+            net = preprocess_detector_image(img, cfg.resize)
+            b, c = yolov4_tiny.forward(params["detector"], net[None], ycfg)
+            return extract_boxes(b[0], c[0], cfg).xyxy
 
-    fps2 = time_chunks(lambda: detect_nms(eng.params, obs1.image, k))
-    results["detect_nms_single_fps"] = fps2
-    results["detect_nms_single_latency_ms"] = 1e3 / max(fps2, 1e-9)
-    log(f"config2 {fps2:.0f} img/s")
+        fps2 = time_chunks(lambda: detect_nms(eng.params, obs1.image, k))
+        results["detect_nms_single_fps"] = fps2
+        results["detect_nms_single_latency_ms"] = 1e3 / max(fps2, 1e-9)
+        log(f"config2 {fps2:.0f} img/s")
 
     # ---- config 3: full fusion single rig -------------------------------
-    step = jax.jit(functools.partial(pipeline.step, cfg=cfg))
-    state1 = GridState.create(cfg)
+    if want('3'):
+        step = jax.jit(functools.partial(pipeline.step, cfg=cfg))
+        state1 = GridState.create(cfg)
 
-    def run3():
-        nonlocal state1
-        state1, _ = step(eng.params, state1, obs1, eng.extrinsics)
-        return state1.log_odds
+        def run3():
+            nonlocal state1
+            state1, _ = step(eng.params, state1, obs1, eng.extrinsics)
+            return state1.log_odds
 
-    results["full_fusion_single_fps"] = time_chunks(run3)
-    log(f"config3 {results['full_fusion_single_fps']:.0f} fps")
+        results["full_fusion_single_fps"] = time_chunks(run3)
+        log(f"config3 {results['full_fusion_single_fps']:.0f} fps")
 
     # ---- config 4: streaming achieved Hz (host-paced ingest) ------------
-    from grid_vision_tpu.demo import default_extrinsics
-    from grid_vision_tpu.io.scene import SyntheticScene
-    from grid_vision_tpu.runtime.stream import replay
-    eng4 = pipeline.Engine(cfg, extrinsics=default_extrinsics(), seed=0)
-    scene = SyntheticScene(cfg, seed=0)
-    scene.add_default_traffic()
-    replay(eng4, scene, n_steps=2)  # compile
-    res = replay(eng4, scene, n_steps=100)
-    results["streaming_achieved_hz"] = res.achieved_hz
-    log(f"config4 {res.achieved_hz:.1f} Hz (host-paced, packed wire)")
+    if want('4'):
+        from grid_vision_tpu.demo import default_extrinsics
+        from grid_vision_tpu.io.scene import SyntheticScene
+        from grid_vision_tpu.runtime.stream import replay
+        eng4 = pipeline.Engine(cfg, extrinsics=default_extrinsics(), seed=0)
+        scene = SyntheticScene(cfg, seed=0)
+        scene.add_default_traffic()
+        replay(eng4, scene, n_steps=2)  # compile
+        res = replay(eng4, scene, n_steps=100)
+        results["streaming_achieved_hz"] = res.achieved_hz
+        log(f"config4 {res.achieved_hz:.1f} Hz (host-paced, packed wire)")
 
-    # config 4b: throughput-mode ingest — K packed frames per transfer,
-    # one scan dispatch per chunk, yuv420/f16 wire (stream.replay_chunked).
-    import dataclasses
-    from grid_vision_tpu.runtime.stream import replay_chunked, replay_ring
-    cfg4b = dataclasses.replace(cfg, wire_image_codec="yuv420",
-                                wire_cloud_dtype="float16")
-    eng4b = pipeline.Engine(cfg4b, extrinsics=default_extrinsics(), seed=0)
-    scene_b = SyntheticScene(cfg4b, seed=0)
-    scene_b.add_default_traffic()
-    replay_chunked(eng4b, scene_b, n_steps=8, chunk=8)  # compile
-    res_b = replay_chunked(eng4b, scene_b, n_steps=400, chunk=8)
-    results["streaming_chunked_hz"] = res_b.achieved_hz
-    log(f"config4b {res_b.achieved_hz:.1f} Hz (chunked k=8, yuv420/f16)")
+        # config 4b: throughput-mode ingest — K packed frames per transfer,
+        # one scan dispatch per chunk, yuv420/f16 wire (stream.replay_chunked).
+        import dataclasses
+        from grid_vision_tpu.runtime.stream import replay_chunked, replay_ring
+        cfg4b = dataclasses.replace(cfg, wire_image_codec="yuv420",
+                                    wire_cloud_dtype="float16")
+        eng4b = pipeline.Engine(cfg4b, extrinsics=default_extrinsics(), seed=0)
+        scene_b = SyntheticScene(cfg4b, seed=0)
+        scene_b.add_default_traffic()
+        replay_chunked(eng4b, scene_b, n_steps=8, chunk=8)  # compile
+        res_b = replay_chunked(eng4b, scene_b, n_steps=400, chunk=8)
+        results["streaming_chunked_hz"] = res_b.achieved_hz
+        log(f"config4b {res_b.achieved_hz:.1f} Hz (chunked k=8, yuv420/f16)")
 
-    # config 4c: ingest rate from a pre-packed ring (engine capability —
-    # excludes the synthetic renderer; a sensor delivers frames for free)
-    res_c = replay_ring(eng4b, scene_b, n_steps=400, chunk=8)
-    results["streaming_ingest_hz"] = res_c.achieved_hz
-    log(f"config4c {res_c.achieved_hz:.1f} Hz (pre-packed ring ingest)")
+        # config 4c: ingest rate from a pre-packed ring (engine capability —
+        # excludes the synthetic renderer; a sensor delivers frames for free)
+        res_c = replay_ring(eng4b, scene_b, n_steps=400, chunk=8)
+        results["streaming_ingest_hz"] = res_c.achieved_hz
+        log(f"config4c {res_c.achieved_hz:.1f} Hz (pre-packed ring ingest)")
+
+    # rig observation pool, shared by configs 5 and 5b
+    if want('5') or want('5b'):
+        keys5 = jax.random.split(jax.random.PRNGKey(0), args.rigs)
+        obs_b = jax.jit(jax.vmap(functools.partial(synth_obs, cfg=cfg)))(
+            keys5)
+        # bf16 image pool (camera pixels are 8-bit; halves the HBM
+        # traffic of every image consumer — same choice as bench.py)
+        obs_b = Obs(image=obs_b.image.astype(jnp.bfloat16),
+                    cloud=obs_b.cloud, has_image=obs_b.has_image,
+                    has_cloud=obs_b.has_cloud)
 
     # ---- config 5: batched rigs (headline) ------------------------------
-    # The PRODUCTION fleet path (pipeline.fleet_step): per-rig Q7 clamp
-    # then fleet-compacted orientation under a 5-crops/rig budget (load-
-    # proportional like the reference's dynamic-box TRT batch; equal to
-    # plain vmap(step) when the budget covers the load — tested in
-    # tests/test_fleet_compaction.py, and the bench pool's measured load
-    # is ~2-3 dynamic boxes/rig, tools/bench_load_report.py, so drops
-    # are 0). kNN stays EXACT (knn_backend="xla" suite default).
-    budget5 = 5 * args.rigs
-    fstep = functools.partial(pipeline.fleet_step, cfg=cfg,
-                              orientation_budget=budget5)
+    if want('5'):
+        # The PRODUCTION fleet path (pipeline.fleet_step): per-rig Q7 clamp
+        # then fleet-compacted orientation under a 5-crops/rig budget (load-
+        # proportional like the reference's dynamic-box TRT batch; equal to
+        # plain vmap(step) when the budget covers the load — tested in
+        # tests/test_fleet_compaction.py, and the bench pool's measured load
+        # is ~2-3 dynamic boxes/rig, tools/bench_load_report.py, so drops
+        # are 0). kNN stays EXACT (knn_backend="xla" suite default).
+        budget5 = 5 * args.rigs
+        fstep = functools.partial(pipeline.fleet_step, cfg=cfg,
+                                  orientation_budget=budget5)
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def fleet_chunk(params, states, obs, extr, key):
-        keys = jax.random.split(key, 4)
+        # The chunk CARRIES its RNG key (split in-graph, new key returned):
+        # creating a PRNGKey per timed call is a separate host dispatch
+        # that costs ~ms through this tunnel — at scan=4/64 rigs that was
+        # several us/frame of pure harness overhead (round-3 device
+        # profile: PjitFunction(_threefry_seed) 4.1 us/frame).
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def fleet_chunk(params, states, obs, extr, key):
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, scan5)
 
-        def body(s, kk):
-            k1, k2 = jax.random.split(kk)
-            ji = jax.random.uniform(k1, (), jnp.float32, -1, 1)
-            jc = jax.random.uniform(k2, (), jnp.float32, -0.01, 0.01)
-            o = Obs(image=obs.image + ji.astype(obs.image.dtype),
-                    cloud=PointCloud(xyz=obs.cloud.xyz + jc,
-                                     intensity=obs.cloud.intensity,
-                                     count=obs.cloud.count),
-                    has_image=obs.has_image, has_cloud=obs.has_cloud)
-            s2, _ = fstep(params, s, o, extr)
-            return s2, ()
+            def body(s, kk):
+                k1, k2 = jax.random.split(kk)
+                ji = jax.random.uniform(k1, (), jnp.float32, -1, 1)
+                jc = jax.random.uniform(k2, (), jnp.float32, -0.01, 0.01)
+                o = Obs(image=obs.image + ji.astype(obs.image.dtype),
+                        cloud=PointCloud(xyz=obs.cloud.xyz + jc,
+                                         intensity=obs.cloud.intensity,
+                                         count=obs.cloud.count),
+                        has_image=obs.has_image, has_cloud=obs.has_cloud)
+                s2, _ = fstep(params, s, o, extr)
+                return s2, ()
 
-        states, _ = jax.lax.scan(body, states, keys)
-        return states
+            states, _ = jax.lax.scan(body, states, keys)
+            return states, key
 
-    keys = jax.random.split(jax.random.PRNGKey(0), args.rigs)
-    obs_b = jax.jit(jax.vmap(functools.partial(synth_obs, cfg=cfg)))(keys)
-    # bf16 image pool (camera pixels are 8-bit; halves the HBM traffic
-    # of every image consumer — same storage choice as bench.py)
-    obs_b = Obs(image=obs_b.image.astype(jnp.bfloat16),
-                cloud=obs_b.cloud, has_image=obs_b.has_image,
-                has_cloud=obs_b.has_cloud)
-    states = GridState.create_batch(cfg, args.rigs)
-    holder = {"s": states}
+        states = GridState.create_batch(cfg, args.rigs)
+        holder = {"s": states, "k": jax.device_put(jax.random.PRNGKey(3))}
 
-    def run5():
-        holder["s"] = fleet_chunk(eng.params, holder["s"], obs_b,
-                                  eng.extrinsics, jax.random.PRNGKey(3))
-        return holder["s"].log_odds
+        def run5():
+            holder["s"], holder["k"] = fleet_chunk(
+                eng.params, holder["s"], obs_b, eng.extrinsics, holder["k"])
+            return holder["s"].log_odds
 
-    results["fused_frames_per_sec"] = time_chunks(
-        run5, unit_count=args.rigs * 4)
-    log(f"config5 {results['fused_frames_per_sec']:.0f} fused frames/s")
+        results["fused_frames_per_sec"] = time_chunks(
+            run5, unit_count=args.rigs * scan5)
+        log(f"config5 {results['fused_frames_per_sec']:.0f} fused frames/s")
 
     # ---- config 5b: compat-grade line (VERDICT r2 #5) -------------------
-    # Exact kNN (knn_backend="xla"), float32 compute, compat=True — the
-    # configuration whose outputs the parity evidence (tools/
-    # parity_report.py, oracle tests) attaches to. Slower than the bf16
-    # fast path by design; recorded so throughput claims exist for
-    # reference-exact semantics too.
-    ccfg5 = GridVisionConfig(max_points=8192, compute_dtype="float32")
-    eng5 = pipeline.Engine(ccfg5, seed=0)
-    vstep_c = jax.vmap(functools.partial(pipeline.step, cfg=ccfg5),
-                       in_axes=(None, 0, 0, None))
+    if want('5b'):
+        # Exact kNN (knn_backend="xla"), float32 compute, compat=True — the
+        # configuration whose outputs the parity evidence (tools/
+        # parity_report.py, oracle tests) attaches to. Slower than the bf16
+        # fast path by design; recorded so throughput claims exist for
+        # reference-exact semantics too.
+        ccfg5 = GridVisionConfig(max_points=8192, compute_dtype="float32")
+        eng5 = pipeline.Engine(ccfg5, seed=0)
+        vstep_c = jax.vmap(functools.partial(pipeline.step, cfg=ccfg5),
+                           in_axes=(None, 0, 0, None))
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def fleet_chunk_compat(params, states, obs, extr, key):
-        def body(s, kk):
-            ji = jax.random.uniform(kk, (), jnp.float32, -1, 1)
-            o = Obs(image=obs.image + ji, cloud=obs.cloud,
-                    has_image=obs.has_image, has_cloud=obs.has_cloud)
-            s2, _ = vstep_c(params, s, o, extr)
-            return s2, ()
-        states, _ = jax.lax.scan(
-            body, states, jax.random.split(key, 4))
-        return states
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def fleet_chunk_compat(params, states, obs, extr, key):
+            key, sub = jax.random.split(key)
 
-    states_c = GridState.create_batch(ccfg5, args.rigs)
-    holder_c = {"s": states_c}
+            def body(s, kk):
+                ji = jax.random.uniform(kk, (), jnp.float32, -1, 1)
+                o = Obs(image=obs.image + ji, cloud=obs.cloud,
+                        has_image=obs.has_image, has_cloud=obs.has_cloud)
+                s2, _ = vstep_c(params, s, o, extr)
+                return s2, ()
+            states, _ = jax.lax.scan(
+                body, states, jax.random.split(sub, scan5))
+            return states, key
 
-    def run5c():
-        holder_c["s"] = fleet_chunk_compat(
-            eng5.params, holder_c["s"], obs_b, eng5.extrinsics,
-            jax.random.PRNGKey(3))
-        return holder_c["s"].log_odds
+        # f32 image pool: the compat line's inputs must not pass through
+        # the fast path's bf16 storage quantization.
+        obs_f32 = Obs(image=obs_b.image.astype(jnp.float32),
+                      cloud=obs_b.cloud, has_image=obs_b.has_image,
+                      has_cloud=obs_b.has_cloud)
+        states_c = GridState.create_batch(ccfg5, args.rigs)
+        holder_c = {"s": states_c,
+                    "k": jax.device_put(jax.random.PRNGKey(3))}
 
-    results["fused_frames_per_sec_compat_f32"] = time_chunks(
-        run5c, unit_count=args.rigs * 4)
-    log(f"config5b {results['fused_frames_per_sec_compat_f32']:.0f} "
-        "fused frames/s (compat f32, exact kNN)")
+        def run5c():
+            holder_c["s"], holder_c["k"] = fleet_chunk_compat(
+                eng5.params, holder_c["s"], obs_f32, eng5.extrinsics,
+                holder_c["k"])
+            return holder_c["s"].log_odds
+
+        results["fused_frames_per_sec_compat_f32"] = time_chunks(
+            run5c, unit_count=args.rigs * scan5)
+        log(f"config5b {results['fused_frames_per_sec_compat_f32']:.0f} "
+            "fused frames/s (compat f32, exact kNN)")
 
     # ---- config 6: shared world grid, scan-chained (VERDICT r2 #4) ------
-    # 8 rigs -> ONE world grid; K=8 ticks per dispatch via
-    # SharedGrid.call_chunk. Unit = world ticks (each tick fuses all 8
-    # rigs); rig-frames/s = 8x this.
-    from jax.sharding import Mesh
-    from grid_vision_tpu.parallel.shared_grid import SharedGrid
-    from grid_vision_tpu.types import Extrinsics, tree_stack
-    n_hub = 8
-    hub_mesh = Mesh(np.array(jax.devices()[:1]).reshape(1), ("rig",))
-    sg = SharedGrid(cfg, n_rigs=n_hub, mesh=hub_mesh,
-                    params=eng.params,
-                    orientation_budget=3 * n_hub)
-    keys_h = jax.random.split(jax.random.PRNGKey(11), n_hub)
-    obs_hub = jax.jit(jax.vmap(functools.partial(synth_obs, cfg=cfg)))(
-        keys_h)
-    k_ticks = 8
-    obs_hub_c = jax.tree_util.tree_map(
-        lambda x: jnp.stack([x] * k_ticks), obs_hub)
-    extr_hub = jax.vmap(lambda _: Extrinsics.identity())(
-        jnp.arange(n_hub))
-    lo_holder = {"lo": sg.init_grid()}
+    if want('6'):
+        # 8 rigs -> ONE world grid; K=8 ticks per dispatch via
+        # SharedGrid.call_chunk. Unit = world ticks (each tick fuses all 8
+        # rigs); rig-frames/s = 8x this.
+        from jax.sharding import Mesh
+        from grid_vision_tpu.parallel.shared_grid import SharedGrid
+        from grid_vision_tpu.types import Extrinsics, tree_stack
+        n_hub = 8
+        hub_mesh = Mesh(np.array(jax.devices()[:1]).reshape(1), ("rig",))
+        sg = SharedGrid(cfg, n_rigs=n_hub, mesh=hub_mesh,
+                        params=eng.params,
+                        orientation_budget=3 * n_hub)
+        keys_h = jax.random.split(jax.random.PRNGKey(11), n_hub)
+        obs_hub = jax.jit(jax.vmap(functools.partial(synth_obs, cfg=cfg)))(
+            keys_h)
+        k_ticks = 8
+        obs_hub_c = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * k_ticks), obs_hub)
+        extr_hub = jax.vmap(lambda _: Extrinsics.identity())(
+            jnp.arange(n_hub))
+        lo_holder = {"lo": sg.init_grid(),
+                     "k": jax.device_put(jax.random.PRNGKey(5))}
 
-    def run6():
-        lo, occ, _d = sg.call_chunk(lo_holder["lo"], obs_hub_c,
-                                    extr_hub, jax.random.PRNGKey(5))
-        lo_holder["lo"] = lo
-        return lo
+        def run6():
+            # key created once outside the timed loop (same dispatch-hygiene
+            # reasoning as config 5); call_chunk folds it per tick.
+            lo, occ, _d = sg.call_chunk(lo_holder["lo"], obs_hub_c,
+                                        extr_hub, lo_holder["k"])
+            lo_holder["lo"] = lo
+            return lo
 
-    results["world_grid_ticks_per_sec"] = time_chunks(
-        run6, unit_count=k_ticks)
-    results["world_grid_rig_frames_per_sec"] = (
-        results["world_grid_ticks_per_sec"] * n_hub)
-    log(f"config6 {results['world_grid_ticks_per_sec']:.0f} world "
-        f"ticks/s ({n_hub} rigs fused/tick, k={k_ticks} scan-chained)")
+        results["world_grid_ticks_per_sec"] = time_chunks(
+            run6, unit_count=k_ticks)
+        results["world_grid_rig_frames_per_sec"] = (
+            results["world_grid_ticks_per_sec"] * n_hub)
+        log(f"config6 {results['world_grid_ticks_per_sec']:.0f} world "
+            f"ticks/s ({n_hub} rigs fused/tick, k={k_ticks} scan-chained)")
 
     # BASELINE.json tracked metric: every fused frame updates the whole
     # 500x200 grid (decay + hits + clamp + sigmoid per cell)
     h, w = cfg.grid_size
-    results["cells_updated_per_sec"] = (
-        results["fused_frames_per_sec"] * h * w)
+    if "fused_frames_per_sec" in results:
+        results["cells_updated_per_sec"] = (
+            results["fused_frames_per_sec"] * h * w)
     results["n_rigs"] = args.rigs
     results["backend"] = jax.default_backend()
     with open(args.out, "w") as f:

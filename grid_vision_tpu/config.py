@@ -112,6 +112,16 @@ class GridVisionConfig:
     grid_backend: str = "xla"        # "xla" (einsum rasterizer) or
                                      # "pallas" (fused one-pass kernel;
                                      # bit-equal, interpret-mode on CPU)
+    detector_s2d_stem: bool = False  # stem 3x3/s2 convs as space-to-
+                                     # depth + 2x2/s1 (EXACT weight
+                                     # rearrangement, same math — see
+                                     # models/yolov4_tiny._s2d_conv and
+                                     # tests/test_models.py equivalence
+                                     # test); pure layout/perf knob, no
+                                     # compat gating needed. Measured
+                                     # SLOWER on v5e (-16%, see the
+                                     # YoloConfig.s2d_stem note) so it
+                                     # defaults off.
     knn_backend: str = "xla"         # "xla" (exact, k argmin passes),
                                      # "approx" (TPU partial-reduction
                                      # top-k, recall 0.99 — markers only,

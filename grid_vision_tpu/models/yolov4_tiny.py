@@ -39,6 +39,17 @@ class YoloConfig:
     num_classes: int = 10
     input_size: int = 416
     compute_dtype: Any = jnp.bfloat16
+    # Stem convs (3x3/stride-2) as space-to-depth + 2x2/stride-1 convs:
+    # an exact weight rearrangement (same taps, same math — verified to
+    # float rounding in tests/test_models.py) that deepens the MXU
+    # contraction from k*k*C_in = 27 to 48 on the C_in=3 first layer.
+    # HONEST NEGATIVE RESULT (round 3, tools/bench_s2d_ab.py): on the
+    # v5e the rearrangement measured 5 087 vs 6 046 fused fps (-16%)
+    # in an interleaved A/B at the 64-rig exact config — XLA already
+    # handles the thin-C first conv well and the extra transpose +
+    # doubled-C stem loses more than the lane fill gains (same story
+    # as the int8 twin). Kept as an option; default OFF.
+    s2d_stem: bool = False
 
     @property
     def num_anchors_total(self) -> int:
@@ -46,20 +57,59 @@ class YoloConfig:
         return 3 * ((s // 32) ** 2 + (s // 16) ** 2)
 
 
+def _s2d_conv(x: jnp.ndarray, w: jnp.ndarray, dtype) -> jnp.ndarray:
+    """3x3/stride-2 SAME conv as space-to-depth(2) + 2x2/stride-1 conv.
+
+    Exact tap-for-tap rearrangement: x[2p+dy, 2q+dx] lives in phase
+    (dy%2, dx%2) at offset (dy//2, dx//2), so the 3x3 kernel maps onto a
+    (2, 2, 4*C, F) kernel over the 4 interleaved phase images (the
+    (odd, offset-1) quarter is structurally zero). SAME padding for
+    even H/W and k=3/s=2 is (0, 1) per dim, which lands entirely on the
+    even phases' high edge — identical zeros either way."""
+    b, h, wd, c = x.shape
+    f = w.shape[-1]
+    w = w.astype(dtype)
+    w2 = jnp.zeros((2, 2, 4 * c, f), dtype)
+    for dy in range(3):
+        for dx in range(3):
+            ci = ((dy % 2) * 2 + dx % 2) * c
+            w2 = w2.at[dy // 2, dx // 2, ci:ci + c, :].set(w[dy, dx])
+    xs = x.reshape(b, h // 2, 2, wd // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * c)
+    return jax.lax.conv_general_dilated(
+        xs.astype(dtype), w2, (1, 1), ((0, 1), (0, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ConvBN(nn.Module):
     """conv 3x3/1x1 + batchnorm + leaky(0.1) — the only block darknet
-    tiny uses."""
+    tiny uses. s2d=True (stem layers) computes the identical stride-2
+    conv through _s2d_conv; the parameter stays the canonical (3,3,C,F)
+    kernel either way."""
     features: int
     kernel: int = 3
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
-                    use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32)(x)
+        if self.s2d and self.kernel == 3 and self.stride == 2 \
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            conv = nn.Conv(self.features, (3, 3), strides=(2, 2),
+                           padding="SAME", use_bias=False,
+                           dtype=self.dtype, param_dtype=jnp.float32,
+                           name="Conv_0")
+            # materialize the canonical params (the dummy call is dead
+            # code XLA eliminates), then run the equivalent s2d form
+            _ = conv(jnp.zeros((1, 4, 4, x.shape[-1]), x.dtype))
+            w = self.get_variable("params", "Conv_0")["kernel"]
+            x = _s2d_conv(x.astype(self.dtype), w, self.dtype)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding="SAME", use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32)(x)
         # BN in the compute dtype: at inference it is a per-channel
         # scale+shift that XLA fuses into the conv epilogue; an f32 BN
         # between bf16 convs forces dtype round-trips that break the
@@ -96,8 +146,9 @@ class YoloV4Tiny(nn.Module):
         d = self.cfg.compute_dtype
         c = self.cfg.num_classes
         x = x.astype(d)
-        x = ConvBN(32, 3, 2, dtype=d)(x, train)        # 208
-        x = ConvBN(64, 3, 2, dtype=d)(x, train)        # 104
+        s2d = self.cfg.s2d_stem
+        x = ConvBN(32, 3, 2, dtype=d, s2d=s2d)(x, train)   # 208
+        x = ConvBN(64, 3, 2, dtype=d, s2d=s2d)(x, train)   # 104
         x = ConvBN(64, 3, dtype=d)(x, train)
         x, _ = CSPBlock(64, dtype=d)(x, train)
         x = nn.max_pool(x, (2, 2), (2, 2))             # 52, 128ch

@@ -184,12 +184,11 @@ class SharedGrid:
         # output latency. Semantics are EXACTLY K sequential _step calls
         # (tested); only the final grid/occupancy materialize, plus the
         # summed dropped count.
-        @functools.partial(jax.jit, donate_argnums=(1,))
         @functools.partial(
             shard_map, mesh=self.mesh,
             in_specs=(P(), P(), P(None, "rig"), P("rig"), P(None, "rig")),
             out_specs=(P(), P(), P()))
-        def _chunk(params, log_odds, obs_c, extr_b, keys_c):
+        def _chunk_sm(params, log_odds, obs_c, extr_b, keys_c):
             def body(lo, xs):
                 obs_b, keys = xs
                 lo2, _occ, dropped = shared_grid_step(
@@ -200,6 +199,18 @@ class SharedGrid:
             lo, drops = jax.lax.scan(body, log_odds, (obs_c, keys_c))
             lo, occ = rasterize._finish(lo, cfg)   # idempotent on lo
             return lo, occ, jnp.sum(drops)
+
+        # The key fan-out (split per tick, then per rig) happens INSIDE
+        # the jit: eager splits were two extra host dispatches per
+        # call_chunk — pure overhead on a ~15 ms-per-dispatch link. The
+        # stream is identical to K sequential __call__ ticks.
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _chunk(params, log_odds, obs_c, extr_b, step_key):
+            k = jax.tree_util.tree_leaves(obs_c)[0].shape[0]
+            keys_c = jax.vmap(
+                lambda kk: jax.random.split(kk, self.n_rigs))(
+                    jax.random.split(step_key, k))
+            return _chunk_sm(params, log_odds, obs_c, extr_b, keys_c)
 
         self._chunk = _chunk
 
@@ -220,9 +231,7 @@ class SharedGrid:
 
         obs_c carries a leading (K, n_rigs) axis pair; the key stream
         matches K sequential __call__ ticks (split K times, then per
-        rig). Returns (log_odds', occupancy', dropped_total)."""
-        k = jax.tree_util.tree_leaves(obs_c)[0].shape[0]
-        keys_c = jax.vmap(
-            lambda kk: jax.random.split(kk, self.n_rigs))(
-                jax.random.split(step_key, k))
-        return self._chunk(self.params, log_odds, obs_c, extr_b, keys_c)
+        rig — fanned out in-graph, one dispatch per chunk).
+        Returns (log_odds', occupancy', dropped_total)."""
+        return self._chunk(self.params, log_odds, obs_c, extr_b,
+                           step_key)

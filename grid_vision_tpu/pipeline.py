@@ -76,7 +76,8 @@ def detect(params: Dict[str, Any], image: jnp.ndarray,
     ycfg = yolov4_tiny.YoloConfig(
         input_size=cfg.resize,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-        else jnp.float32)
+        else jnp.float32,
+        s2d_stem=cfg.detector_s2d_stem)
     boxes_norm, confs = _detector_forward(params, net_in[None], ycfg, cfg)
     return extract_boxes(boxes_norm[0], confs[0], cfg)
 
@@ -91,7 +92,8 @@ def detect_with_stats(params: Dict[str, Any], image: jnp.ndarray,
     ycfg = yolov4_tiny.YoloConfig(
         input_size=cfg.resize,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-        else jnp.float32)
+        else jnp.float32,
+        s2d_stem=cfg.detector_s2d_stem)
     boxes_norm, confs = _detector_forward(params, net_in[None], ycfg, cfg)
     return extract_boxes(boxes_norm[0], confs[0], cfg, with_overflow=True)
 
@@ -109,7 +111,8 @@ def detect_batch(params: Dict[str, Any], images: jnp.ndarray,
         lambda im: preprocess.preprocess_detector_image(
             im, cfg.resize, compute_dtype=dtype))(images)
     ycfg = yolov4_tiny.YoloConfig(input_size=cfg.resize,
-                                  compute_dtype=dtype)
+                                  compute_dtype=dtype,
+                                  s2d_stem=cfg.detector_s2d_stem)
     boxes_norm, confs = _detector_forward(params, net_in, ycfg, cfg)
     return jax.vmap(
         lambda b, c: extract_boxes(b, c, cfg, with_overflow=True))(

@@ -50,6 +50,30 @@ def test_yolo_head_grid_layout():
     np.testing.assert_allclose(w3, 23.0 / 416.0, atol=1e-6)
 
 
+def test_yolo_s2d_stem_is_exact_rearrangement():
+    """s2d_stem=True (space-to-depth stem convs) must be the SAME math
+    as the canonical 3x3/stride-2 convs — identical parameter tree,
+    outputs equal to float rounding (f32 compute: summation order is the
+    only difference)."""
+    cfg_ref = yolov4_tiny.YoloConfig(compute_dtype=jnp.float32,
+                                     s2d_stem=False)
+    cfg_s2d = yolov4_tiny.YoloConfig(compute_dtype=jnp.float32,
+                                     s2d_stem=True)
+    variables = yolov4_tiny.init_params(jax.random.PRNGKey(0), cfg_ref)
+    # same parameter tree either way (the 3x3 kernel is the stored form)
+    v2 = yolov4_tiny.init_params(jax.random.PRNGKey(0), cfg_s2d)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(v2)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 416, 416, 3),
+                             jnp.float32, 0.0, 1.0)
+    b_ref, c_ref = yolov4_tiny.forward(variables, img, cfg_ref)
+    b_s2d, c_s2d = yolov4_tiny.forward(variables, img, cfg_s2d)
+    np.testing.assert_allclose(np.asarray(b_s2d), np.asarray(b_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_s2d), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_orientation_net_contract():
     cfg = orientation_net.OrientationConfig(compute_dtype=jnp.float32)
     variables = orientation_net.init_params(jax.random.PRNGKey(0), cfg)
