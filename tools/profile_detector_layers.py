@@ -88,10 +88,22 @@ def main():
 
         out = run(x, w)
         _ = readback(out)
+        # Measure the fixed readback latency for THIS warm executable and
+        # subtract it: through the axon tunnel a scalar readback costs
+        # ~30 ms, which otherwise adds ~1 ms/iter at 32 iters — more than
+        # the true time of every small layer (the first version of this
+        # tool made exactly that mistake; docs/PERF.md numbers postdate
+        # the fix).
+        lat = []
+        for _ in range(3):
+            t = time.perf_counter()
+            _ = readback(out)
+            lat.append(time.perf_counter() - t)
+        sync = min(lat)
         t0 = time.perf_counter()
         out = run(x, w)
         _ = readback(out)
-        dt = (time.perf_counter() - t0) / args.iters
+        dt = max(time.perf_counter() - t0 - sync, 1e-9) / args.iters
         macs = b * ho * ho * cout * cin * k * k
         tfs = 2 * macs / dt / 1e12
         total_macs += macs
