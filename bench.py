@@ -110,21 +110,41 @@ def build_obs_pool(cfg: GridVisionConfig, n_rigs: int,
     return jax.device_put(pool)
 
 
-def perturb_obs(pool: Obs, key: jnp.ndarray, n_rigs: int) -> Obs:
-    """Cheap per-step, per-rig perturbation: brightness shift + point
-    jitter. O(rigs) random scalars; the broadcasts fuse into the first
-    consumers (detector resize / extrinsic transform)."""
+def draw_perturbations(key: jnp.ndarray, n_steps: int, n_rigs: int):
+    """All of a chunk's per-step, per-rig perturbation scalars in TWO
+    vectorized draws: (bright (T, R, 1, 1, 1), jitter (T, R, 1, 3)).
+
+    Drawn OUTSIDE the scan body on purpose: a per-step in-body
+    jax.random.split + uniform chain is u32 scalar-core work that
+    serialized the fleet step at ~13 us/frame in the round-3 device
+    profile (the key unstack alone was the 4th-hottest op). Hoisted,
+    the scan consumes plain f32 slices and each frame is still uniquely
+    perturbed."""
     kb, kp = jax.random.split(key)
-    bright = jax.random.uniform(kb, (n_rigs, 1, 1, 1), jnp.float32,
-                                -8.0, 8.0)
-    jitter = jax.random.uniform(kp, (n_rigs, 1, 3), jnp.float32,
-                                -0.03, 0.03)
+    bright = jax.random.uniform(kb, (n_steps, n_rigs, 1, 1, 1),
+                                jnp.float32, -8.0, 8.0)
+    jitter = jax.random.uniform(kp, (n_steps, n_rigs, 1, 3),
+                                jnp.float32, -0.03, 0.03)
+    return bright, jitter
+
+
+def apply_perturbation(pool: Obs, bright: jnp.ndarray,
+                       jitter: jnp.ndarray) -> Obs:
+    """One step's perturbed fleet observation; the broadcasts fuse into
+    the first consumers (detector resize / extrinsic transform)."""
     return Obs(
         image=pool.image + bright.astype(pool.image.dtype),
         cloud=PointCloud(xyz=pool.cloud.xyz + jitter,
                          intensity=pool.cloud.intensity,
                          count=pool.cloud.count),
         has_image=pool.has_image, has_cloud=pool.has_cloud)
+
+
+def perturb_obs(pool: Obs, key: jnp.ndarray, n_rigs: int) -> Obs:
+    """Single-step keyed perturbation (kept for ad-hoc callers; the
+    timed chunk uses draw_perturbations + apply_perturbation)."""
+    bright, jitter = draw_perturbations(key, 1, n_rigs)
+    return apply_perturbation(pool, bright[0], jitter[0])
 
 
 def readback(x) -> float:
@@ -170,19 +190,21 @@ def main():
         # dispatch costing ~ms through this tunnel (round-3 profile:
         # PjitFunction(_threefry_seed) at 4.1 us/frame).
         chunk_key, sub = jax.random.split(chunk_key)
-        step_keys = jax.random.split(sub, scan_steps)
+        bright_t, jitter_t = draw_perturbations(sub, scan_steps, n_rigs)
 
-        def body(s, key):
+        def body(s, bj):
             # Perturbed pool observations EVERY step: nothing is
             # loop-invariant, every frame pays the full pipeline, and
             # no sensor bytes cross the host link inside the timed
             # region (matching a production feed from device-resident
-            # ingest buffers).
-            obs_t = perturb_obs(pool, key, n_rigs)
+            # ingest buffers). The random scalars are pre-drawn per
+            # chunk (draw_perturbations) so the body carries no u32
+            # key/threefry scalar-core work.
+            obs_t = apply_perturbation(pool, bj[0], bj[1])
             s2, _out = vstep(params, s, obs_t, extr)
             return s2, ()
 
-        states, _ = jax.lax.scan(body, states, step_keys)
+        states, _ = jax.lax.scan(body, states, (bright_t, jitter_t))
         return states, chunk_key
 
     states = GridState.create_batch(cfg, n_rigs)

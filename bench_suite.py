@@ -246,13 +246,17 @@ def main():
         # profile: PjitFunction(_threefry_seed) 4.1 us/frame).
         @functools.partial(jax.jit, donate_argnums=(1,))
         def fleet_chunk(params, states, obs, extr, key):
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, scan5)
+            # perturbation scalars pre-drawn per chunk: in-body key
+            # splits are u32 scalar-core chains that serialized the
+            # step (~13 us/frame, round-3 device profile; same fix as
+            # bench.draw_perturbations)
+            key, k1, k2 = jax.random.split(key, 3)
+            ji_t = jax.random.uniform(k1, (scan5,), jnp.float32, -1, 1)
+            jc_t = jax.random.uniform(k2, (scan5,), jnp.float32,
+                                      -0.01, 0.01)
 
-            def body(s, kk):
-                k1, k2 = jax.random.split(kk)
-                ji = jax.random.uniform(k1, (), jnp.float32, -1, 1)
-                jc = jax.random.uniform(k2, (), jnp.float32, -0.01, 0.01)
+            def body(s, jij):
+                ji, jc = jij
                 o = Obs(image=obs.image + ji.astype(obs.image.dtype),
                         cloud=PointCloud(xyz=obs.cloud.xyz + jc,
                                          intensity=obs.cloud.intensity,
@@ -261,7 +265,7 @@ def main():
                 s2, _ = fstep(params, s, o, extr)
                 return s2, ()
 
-            states, _ = jax.lax.scan(body, states, keys)
+            states, _ = jax.lax.scan(body, states, (ji_t, jc_t))
             return states, key
 
         states = GridState.create_batch(cfg, args.rigs)
@@ -291,15 +295,14 @@ def main():
         @functools.partial(jax.jit, donate_argnums=(1,))
         def fleet_chunk_compat(params, states, obs, extr, key):
             key, sub = jax.random.split(key)
+            ji_t = jax.random.uniform(sub, (scan5,), jnp.float32, -1, 1)
 
-            def body(s, kk):
-                ji = jax.random.uniform(kk, (), jnp.float32, -1, 1)
+            def body(s, ji):
                 o = Obs(image=obs.image + ji, cloud=obs.cloud,
                         has_image=obs.has_image, has_cloud=obs.has_cloud)
                 s2, _ = vstep_c(params, s, o, extr)
                 return s2, ()
-            states, _ = jax.lax.scan(
-                body, states, jax.random.split(sub, scan5))
+            states, _ = jax.lax.scan(body, states, ji_t)
             return states, key
 
         # f32 image pool: the compat line's inputs must not pass through

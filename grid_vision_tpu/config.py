@@ -136,6 +136,14 @@ class GridVisionConfig:
     orientation_arch: str = "s2d"   # "s2d" (space-to-depth stem, MXU-
                                     # aligned channels — round-2 default)
                                     # or "resnet" (round-1 ResNet-18)
+    orientation_s2d_fold: bool = True  # run the s2d stem as the exact
+                                    # equivalent 12x12/s8 conv on raw
+                                    # crops (same params, same math —
+                                    # skips the s2d transpose, ~8
+                                    # us/frame of relayout copies in the
+                                    # round-3 fleet profile); pure
+                                    # layout/perf knob like
+                                    # detector_s2d_stem
 
     # Packed-wire streaming format (types.Obs.pack_bytes/unpack): what
     # crosses the host->device link per frame. "rgb8"/"float32" is

@@ -37,6 +37,13 @@ class OrientationConfig:
     #   see docs/PERF.md round-2 table). "resnet": the round-1 ResNet-18
     #   variant, kept for checkpoints trained against it.
     arch: str = "s2d"
+    # Execute the s2d stem as ONE equivalent (3b x 3b / stride 2b) conv
+    # on the raw crops (space_to_depth followed by a conv IS a single
+    # big-kernel strided conv with rearranged weights — exact, same
+    # parameters): skips the explicit s2d transpose, which the round-3
+    # device profile showed as ~8 us/frame of pure relayout copies at
+    # the 64-rig fleet shapes. Checkpoint-compatible either way.
+    s2d_fold: bool = False
 
 
 class ResBlock(nn.Module):
@@ -137,9 +144,18 @@ class OrientationNetS2D(nn.Module):
         c = self.cfg
         d = c.compute_dtype
         w = c.width
-        x = space_to_depth(x.astype(d), 4)      # (N, in/4, in/4, 48)
         stage_ch = (4 * w, 8 * w, 8 * w, 8 * w, 8 * w)
-        i = 0
+        if c.s2d_fold:
+            # s2d(4) + 3x3/s2 conv == one 12x12/s8 conv with rearranged
+            # weights (exact; tests/test_models.py pins equivalence).
+            # Parameter layout stays the canonical post-s2d (3,3,48,F)
+            # kernel, so checkpoints are shared with the transpose path.
+            x = ConvBN(stage_ch[0], stride=2, dtype=d,
+                       s2d_fold=4)(x.astype(d), train)
+            i = 1
+        else:
+            x = space_to_depth(x.astype(d), 4)  # (N, in/4, in/4, 48)
+            i = 0
         while x.shape[1] > 7:                   # stride-2 ladder down to 7
             x = ConvBN(stage_ch[min(i, len(stage_ch) - 1)], stride=2,
                        dtype=d)(x, train)
@@ -154,13 +170,47 @@ class ConvBN(nn.Module):
     kernel: int = 3
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    # s2d_fold=b (>0): input is the RAW (N, H, W, C) image; the stored
+    # (k, k, C*b*b, F) parameter runs as the exact equivalent
+    # (k*b, k*b, C, F) conv at stride*b — space_to_depth(b) followed by
+    # a conv IS that single big-kernel conv with rearranged weights.
+    s2d_fold: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
-                    use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32)(x)
+        if self.s2d_fold:
+            b = self.s2d_fold
+            k, cin = self.kernel, x.shape[-1]
+            conv = nn.Conv(self.features, (k, k),
+                           strides=(self.stride, self.stride),
+                           padding="SAME", use_bias=False,
+                           dtype=self.dtype, param_dtype=jnp.float32,
+                           name="Conv_0")
+            # materialize the canonical post-s2d params (the dummy call
+            # is dead code XLA eliminates), then run the folded form
+            _ = conv(jnp.zeros((1, 2 * k, 2 * k, cin * b * b), x.dtype))
+            w3 = self.get_variable("params", "Conv_0")["kernel"]
+            # channel index of the s2d input is (py*b + px)*C + c
+            f = w3.shape[-1]
+            wbig = (w3.reshape(k, k, b, b, cin, f)
+                    .transpose(0, 2, 1, 3, 4, 5)
+                    .reshape(k * b, k * b, cin, f)).astype(self.dtype)
+            # SAME padding computed on the BLOCK grid, scaled to pixels
+            # (zero-pad blocks == zero-pad pixels)
+            nb = x.shape[1] // b
+            pad_total = max((-(-nb // self.stride) - 1) * self.stride
+                            + k - nb, 0)
+            pl, ph = pad_total // 2, pad_total - pad_total // 2
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), wbig,
+                (self.stride * b, self.stride * b),
+                ((pl * b, ph * b), (pl * b, ph * b)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride), padding="SAME",
+                        use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32)(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         return nn.relu(x).astype(self.dtype)
 

@@ -28,7 +28,7 @@ def init_all(cfg: GridVisionConfig, seed: int = 0) -> Dict[str, Any]:
     ycfg = yolov4_tiny.YoloConfig(input_size=cfg.resize)
     ocfg = orientation_net.OrientationConfig(
         input_size=cfg.network_height, width=cfg.orientation_width,
-        arch=cfg.orientation_arch)
+        arch=cfg.orientation_arch, s2d_fold=cfg.orientation_s2d_fold)
     return {
         "detector": yolov4_tiny.init_params(kd, ycfg),
         "orientation": orientation_net.init_params(ko, ocfg),

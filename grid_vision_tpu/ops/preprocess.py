@@ -16,22 +16,63 @@ Replaces the reference's OpenCV host preprocessing with on-device XLA:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..types import Boxes
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_resize_weights(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) interpolation weights of jax.image.resize('linear')
+    for one axis, recomputed in PURE NumPy (the same antialiased
+    triangle-kernel formula as jax's compute_weight_mat; equality is
+    pinned by tests/test_preprocess.py against jax.image.resize).
+
+    Why precompute on the host: jax.image.resize builds these weights
+    in-graph with iota/compare chains that XLA neither constant-folds
+    nor hoists out of a lax.scan body; on TPU they lower to SMEM
+    scalar-core fusions that serialized the fleet step at ~25 us/frame
+    (round-3 device profile, tools/profile_step.py fusions 809/810/813).
+    As host constants they cost nothing per step. (Pure NumPy — not the
+    resize-the-identity trick — because this is called during jit
+    tracing, where any jax op returns a tracer.)"""
+    if n_in == n_out:
+        return np.eye(n_in, dtype=np.float32)
+    scale = n_out / n_in
+    kernel_scale = max(1.0 / scale, 1.0)        # antialias (downscale)
+    sample_f = (np.arange(n_out, dtype=np.float64) + 0.5) / scale - 0.5
+    x = np.abs(sample_f[:, None]
+               - np.arange(n_in, dtype=np.float64)[None, :]) / kernel_scale
+    w = np.maximum(0.0, 1.0 - x)                # triangle kernel
+    total = w.sum(axis=1, keepdims=True)
+    w = np.where(np.abs(total) > 1000.0 * np.finfo(np.float32).eps,
+                 w / np.where(total == 0.0, 1.0, total), 0.0)
+    ok = (sample_f >= -0.5) & (sample_f <= n_in - 0.5)
+    return (w * ok[:, None]).astype(np.float32)
 
 
 def preprocess_detector_image(image: jnp.ndarray, size: int,
                               compute_dtype=jnp.float32) -> jnp.ndarray:
     """(H, W, 3) float RGB in [0, 255] -> (size, size, 3) in [0, 1].
 
-    jax.image.resize lowers to two interpolation matmuls; running them in
+    Two interpolation matmuls against PRECOMPUTED constant weight
+    matrices (see _axis_resize_weights) — the same math jax.image.resize
+    lowers to, minus the in-graph weight construction. Running them in
     the compute dtype (bf16 in fast mode) keeps them on the MXU fast
     path. Pixel values are 8-bit to begin with, so bf16's 8-bit mantissa
     loses nothing material."""
-    resized = jax.image.resize(image.astype(compute_dtype),
-                               (size, size, 3), method="linear")
+    h, w, _ = image.shape
+    wy = jnp.asarray(_axis_resize_weights(h, size), compute_dtype)
+    wx = jnp.asarray(_axis_resize_weights(w, size), compute_dtype)
+    img = image.astype(compute_dtype)
+    # Contract the longer axis (x=640 at the default camera) first:
+    # stage 2 then sums over H=480 instead of W=640 (fewer FLOPs).
+    tmp = jnp.einsum("jx,yxc->yjc", wx, img)
+    resized = jnp.einsum("iy,yjc->ijc", wy, tmp)
     return resized / jnp.asarray(255.0, compute_dtype)
 
 
@@ -135,10 +176,28 @@ def _standardize(crops: jnp.ndarray, valid: jnp.ndarray,
                  out_dtype=None) -> jnp.ndarray:
     """Per-crop per-channel standardization (quirk Q10); invalid -> 0.
     Statistics ACCUMULATE in f32 whatever the crop dtype; out_dtype
-    (e.g. bf16) saves bandwidth when the crops feed a bf16 net."""
-    x = crops.astype(jnp.float32)
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
-    x = (x - mean) / jnp.maximum(jnp.sqrt(var), 1e-6)
-    out = jnp.where(valid[:, None, None, None], x, 0.0)
+    (e.g. bf16) saves bandwidth when the crops feed a bf16 net.
+
+    Reduced-precision crops take a SINGLE-PASS moment computation
+    (E[x^2] - E[x]^2): the two-pass form forced XLA to materialize an
+    f32 copy of every crop in the consumer's layout (192 MB/step at the
+    64-rig bench shapes, ~11 us/frame in the round-3 device profile).
+    Pixels are bounded by 255, so the f32 cancellation error on the
+    variance is <~4e-3 against a clamp floor of 1e-12 — immaterial next
+    to the bf16 rounding the crops already carry. The f32 path keeps
+    the reference-exact two-pass form."""
+    if crops.dtype == jnp.float32:
+        x = crops
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
+    else:
+        x = crops
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True,
+                        dtype=jnp.float32)
+        ex2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
+                       keepdims=True)
+        var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    out = ((crops.astype(jnp.float32) - mean)
+           / jnp.maximum(jnp.sqrt(var), 1e-6))
+    out = jnp.where(valid[:, None, None, None], out, 0.0)
     return out.astype(out_dtype) if out_dtype is not None else out

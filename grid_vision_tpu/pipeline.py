@@ -162,7 +162,7 @@ def _vision_orientation_poses(params, image, boxes: Boxes,
         else jnp.float32)
     ocfg = orientation_net.OrientationConfig(
         input_size=cfg.network_height, width=cfg.orientation_width,
-        arch=cfg.orientation_arch,
+        arch=cfg.orientation_arch, s2d_fold=cfg.orientation_s2d_fold,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
         else jnp.float32)
     orient, conf, dims = orientation_net.forward(
@@ -454,7 +454,8 @@ def _fleet_vision_poses(params, images: jnp.ndarray, boxes_b: Boxes,
         g_boxes.valid, out_dtype=gdtype)
     ocfg = orientation_net.OrientationConfig(
         input_size=cfg.network_height, width=cfg.orientation_width,
-        arch=cfg.orientation_arch, compute_dtype=gdtype)
+        arch=cfg.orientation_arch, s2d_fold=cfg.orientation_s2d_fold,
+        compute_dtype=gdtype)
     orient, conf, dims = orientation_net.forward(
         params["orientation"], crops, ocfg)
     poses_g = multibin.multibin_poses(orient, conf, dims, g_boxes, K, cfg)

@@ -74,6 +74,30 @@ def test_yolo_s2d_stem_is_exact_rearrangement():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_orientation_s2d_fold_is_exact_rearrangement():
+    """s2d_fold=True (the s2d(4)+3x3/s2 stem as one 12x12/s8 conv) must
+    be the SAME math — identical parameter tree, outputs equal to float
+    rounding (summation order is the only difference)."""
+    cfg_ref = orientation_net.OrientationConfig(
+        compute_dtype=jnp.float32, s2d_fold=False)
+    cfg_fold = orientation_net.OrientationConfig(
+        compute_dtype=jnp.float32, s2d_fold=True)
+    variables = orientation_net.init_params(jax.random.PRNGKey(0), cfg_ref)
+    v2 = orientation_net.init_params(jax.random.PRNGKey(0), cfg_fold)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(v2)
+    crops = jax.random.normal(jax.random.PRNGKey(1), (4, 224, 224, 3))
+    o_ref, c_ref, d_ref = orientation_net.forward(variables, crops,
+                                                  cfg_ref)
+    o_f, c_f, d_f = orientation_net.forward(variables, crops, cfg_fold)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_ref),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_orientation_net_contract():
     cfg = orientation_net.OrientationConfig(compute_dtype=jnp.float32)
     variables = orientation_net.init_params(jax.random.PRNGKey(0), cfg)

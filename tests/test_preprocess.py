@@ -38,6 +38,39 @@ def test_detector_resize_identity_when_same_size():
     np.testing.assert_allclose(np.asarray(out), img / 255.0, atol=1e-5)
 
 
+def test_detector_resize_matches_jax_image_resize():
+    """The constant-weight matmul resize must reproduce
+    jax.image.resize('linear') — the function the shipped detector was
+    trained against — on the real camera geometry (640x480 -> 416)."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 255, (480, 640, 3)).astype(np.float32)
+    ref = jax.image.resize(jnp.asarray(img), (416, 416, 3),
+                           method="linear") / 255.0
+    out = preprocess_detector_image(jnp.asarray(img), 416)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_standardize_bf16_single_pass_close_to_f32():
+    """The bf16 single-pass moments must agree with the f32 two-pass
+    form to within bf16 rounding on realistic pixel crops."""
+    from grid_vision_tpu.ops.preprocess import crop_resize_standardize
+
+    rng = np.random.default_rng(8)
+    img = rng.uniform(0, 255, (480, 640, 3)).astype(np.float32)
+    boxes = make_boxes([[200, 100, 400, 300], [0, 0, 100, 100]])
+    ref = np.asarray(crop_resize_standardize(jnp.asarray(img), boxes,
+                                             224))
+    fast = np.asarray(crop_resize_standardize(
+        jnp.asarray(img), boxes, 224,
+        compute_dtype=jnp.bfloat16).astype(jnp.float32))
+    # crops are standardized (unit scale), so absolute tolerance works
+    assert np.abs(fast[:2] - ref[:2]).mean() < 0.02
+    assert np.abs(fast[:2] - ref[:2]).max() < 0.3
+
+
 def test_crop_standardization_stats():
     """Each crop standardized by ITS OWN per-channel stats (Q10)."""
     rng = np.random.default_rng(1)

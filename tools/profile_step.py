@@ -38,7 +38,8 @@ def main():
     from grid_vision_tpu import pipeline
     from grid_vision_tpu.config import GridVisionConfig
     from grid_vision_tpu.types import GridState
-    from bench import build_obs_pool, perturb_obs, readback
+    from bench import (apply_perturbation, build_obs_pool,
+                       draw_perturbations, readback)
 
     # Mirror bench.py's flagship configuration exactly.
     cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16",
@@ -51,13 +52,15 @@ def main():
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     def chunk(params, states, pool, extr, key):
-        def body(s, kk):
-            obs = perturb_obs(pool, kk, args.rigs)
+        bright_t, jitter_t = draw_perturbations(key, args.scan,
+                                                args.rigs)
+
+        def body(s, bj):
+            obs = apply_perturbation(pool, bj[0], bj[1])
             s2, _ = pipeline.fleet_step(params, s, obs, extr, cfg,
                                         orientation_budget=budget)
             return s2, ()
-        states, _ = jax.lax.scan(body, states,
-                                 jax.random.split(key, args.scan))
+        states, _ = jax.lax.scan(body, states, (bright_t, jitter_t))
         return states
 
     states = GridState.create_batch(cfg, args.rigs)
