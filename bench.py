@@ -172,8 +172,13 @@ def main():
     # approx mode (VERDICT r2 weak #6). GV_BENCH_KNN=approx restores
     # the recall-0.99 fast mode.
     knn = os.environ.get("GV_BENCH_KNN", "xla")
+    # Fused Pallas resize+stem kernel (ops/pallas_stem.py): +8.6% in
+    # the interleaved A/B at this config (tools/bench_stem_ab.py);
+    # the fleet path calls the detector un-vmapped, satisfying the
+    # kernel's no-vmap rule. GV_BENCH_STEM=xla restores plain convs.
+    stem = os.environ.get("GV_BENCH_STEM", "pallas")
     cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16",
-                           knn_backend=knn,
+                           knn_backend=knn, detector_stem_backend=stem,
                            detection_weights_file="weights/detector.npz",
                            vision_weights_file="weights/orientation.npz")
     eng = pipeline.Engine(cfg, seed=0)

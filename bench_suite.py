@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
@@ -117,7 +118,14 @@ def main():
                 results = json.load(f)
         except (OSError, ValueError):
             pass
-    cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16")
+    # detector_stem_backend="pallas": the fused resize+stem kernel
+    # measured +8.6% on the 64-rig exact fleet step in an interleaved
+    # A/B (tools/bench_stem_ab.py: 6859 vs 6318 fused fps); every suite
+    # path calls the detector un-vmapped, so the kernel's no-vmap rule
+    # holds. GV_BENCH_STEM=xla restores the plain conv path.
+    cfg = GridVisionConfig(
+        max_points=8192, compute_dtype="bfloat16",
+        detector_stem_backend=os.environ.get("GV_BENCH_STEM", "pallas"))
     eng = pipeline.Engine(cfg, seed=0)
     obs1 = jax.jit(functools.partial(synth_obs, cfg=cfg))(
         jax.random.PRNGKey(7))

@@ -122,6 +122,18 @@ class GridVisionConfig:
                                      # SLOWER on v5e (-16%, see the
                                      # YoloConfig.s2d_stem note) so it
                                      # defaults off.
+    detector_stem_backend: str = "xla"  # "pallas" fuses resize + the
+                                     # two stem convs into one VMEM-
+                                     # resident kernel per image
+                                     # (ops/pallas_stem.py) — the thin-
+                                     # channel front end XLA runs at
+                                     # 5.7-31 TF/s with HBM bounces;
+                                     # "im2col" runs the same phase-
+                                     # resize + packed-matmul math as
+                                     # batched XLA ops. Both float-
+                                     # rounding-equal (tests/
+                                     # test_pallas_stem.py), float
+                                     # detector only
     knn_backend: str = "xla"         # "xla" (exact, k argmin passes),
                                      # "approx" (TPU partial-reduction
                                      # top-k, recall 0.99 — markers only,
@@ -207,6 +219,10 @@ class GridVisionConfig:
                 "yaw_aware_rasterization / vision_depth_refine / "
                 "detector_precision != 'float') deviate from reference "
                 "behavior; set compat=False to enable them")
+        if self.detector_stem_backend not in ("xla", "pallas", "im2col"):
+            raise ValueError(
+                f"unknown detector_stem_backend "
+                f"{self.detector_stem_backend!r}")
         if self.orientation_arch not in ("s2d", "resnet"):
             raise ValueError(
                 f"unknown orientation_arch {self.orientation_arch!r}")

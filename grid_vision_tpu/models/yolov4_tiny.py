@@ -50,6 +50,12 @@ class YoloConfig:
     # doubled-C stem loses more than the lane fill gains (same story
     # as the int8 twin). Kept as an option; default OFF.
     s2d_stem: bool = False
+    # The input is the POST-ConvBN_1 stage-2 activation (B, S/4, S/4,
+    # 64) computed externally (the fused Pallas resize+stem kernel,
+    # ops/pallas_stem.py); ConvBN_0/1 params are still materialized on
+    # dummies so the tree matches the canonical form and checkpoints
+    # are shared.
+    stem_external: bool = False
 
     @property
     def num_anchors_total(self) -> int:
@@ -147,8 +153,17 @@ class YoloV4Tiny(nn.Module):
         c = self.cfg.num_classes
         x = x.astype(d)
         s2d = self.cfg.s2d_stem
-        x = ConvBN(32, 3, 2, dtype=d, s2d=s2d)(x, train)   # 208
-        x = ConvBN(64, 3, 2, dtype=d, s2d=s2d)(x, train)   # 104
+        if self.cfg.stem_external:
+            # x is already the post-stem (B, S/4, S/4, 64) activation;
+            # run ConvBN_0/1 on dummies so the param tree (and thus any
+            # checkpoint) is identical to the canonical form — XLA
+            # eliminates the dead compute.
+            dummy = jnp.zeros((1, 8, 8, 3), x.dtype)
+            dummy = ConvBN(32, 3, 2, dtype=d)(dummy, train)
+            _ = ConvBN(64, 3, 2, dtype=d)(dummy, train)
+        else:
+            x = ConvBN(32, 3, 2, dtype=d, s2d=s2d)(x, train)   # 208
+            x = ConvBN(64, 3, 2, dtype=d, s2d=s2d)(x, train)   # 104
         x = ConvBN(64, 3, dtype=d)(x, train)
         x, _ = CSPBlock(64, dtype=d)(x, train)
         x = nn.max_pool(x, (2, 2), (2, 2))             # 52, 128ch

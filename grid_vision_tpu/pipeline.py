@@ -66,35 +66,50 @@ def _detector_forward(params, net_in, ycfg, cfg: GridVisionConfig):
     return yolov4_tiny.forward(params["detector"], net_in, ycfg)
 
 
+def _detector_input(params, images: jnp.ndarray, cfg: GridVisionConfig):
+    """(R, H, W, 3) [0,255] frames -> (net_in, ycfg) for the detector.
+
+    detector_stem_backend="pallas" (float detector only) feeds the net
+    its stage-2 activation from the fused resize+stem kernel
+    (ops/pallas_stem.py) with stem_external=True; otherwise the resized
+    frames run the full net. The folded stem constants ride in
+    params["detector_stem"] when the Engine prepared them (falling back
+    to an in-graph fold for direct callers)."""
+    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
+    external = (cfg.detector_stem_backend in ("pallas", "im2col")
+                and cfg.detector_precision == "float")
+    ycfg = yolov4_tiny.YoloConfig(input_size=cfg.resize,
+                                  compute_dtype=dtype,
+                                  s2d_stem=cfg.detector_s2d_stem,
+                                  stem_external=external)
+    if external:
+        from .ops import pallas_stem
+        fn = (pallas_stem.detector_stem_pallas
+              if cfg.detector_stem_backend == "pallas"
+              else pallas_stem.detector_stem_im2col_xla)
+        net_in = fn(images, params["detector"], cfg.resize, dtype,
+                    consts=params.get("detector_stem"))
+    else:
+        net_in = jax.vmap(
+            lambda im: preprocess.preprocess_detector_image(
+                im, cfg.resize, compute_dtype=dtype))(images)
+    return net_in, ycfg
+
+
 def detect(params: Dict[str, Any], image: jnp.ndarray,
            cfg: GridVisionConfig) -> Boxes:
     """Image (H, W, 3) [0,255] -> padded pixel-space Boxes (conf desc)."""
-    net_in = preprocess.preprocess_detector_image(
-        image, cfg.resize,
-        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-        else jnp.float32)
-    ycfg = yolov4_tiny.YoloConfig(
-        input_size=cfg.resize,
-        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-        else jnp.float32,
-        s2d_stem=cfg.detector_s2d_stem)
-    boxes_norm, confs = _detector_forward(params, net_in[None], ycfg, cfg)
+    net_in, ycfg = _detector_input(params, image[None], cfg)
+    boxes_norm, confs = _detector_forward(params, net_in, ycfg, cfg)
     return extract_boxes(boxes_norm[0], confs[0], cfg)
 
 
 def detect_with_stats(params: Dict[str, Any], image: jnp.ndarray,
                       cfg: GridVisionConfig):
     """detect + pre-NMS overflow counter (SaturationStats input)."""
-    net_in = preprocess.preprocess_detector_image(
-        image, cfg.resize,
-        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-        else jnp.float32)
-    ycfg = yolov4_tiny.YoloConfig(
-        input_size=cfg.resize,
-        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-        else jnp.float32,
-        s2d_stem=cfg.detector_s2d_stem)
-    boxes_norm, confs = _detector_forward(params, net_in[None], ycfg, cfg)
+    net_in, ycfg = _detector_input(params, image[None], cfg)
+    boxes_norm, confs = _detector_forward(params, net_in, ycfg, cfg)
     return extract_boxes(boxes_norm[0], confs[0], cfg, with_overflow=True)
 
 
@@ -105,14 +120,7 @@ def detect_batch(params: Dict[str, Any], images: jnp.ndarray,
     vmapping a batch-1 call (vmap threads a dummy unit dim through every
     conv, which skews XLA's layout choices for the maxpool/conv
     fusions)."""
-    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-             else jnp.float32)
-    net_in = jax.vmap(
-        lambda im: preprocess.preprocess_detector_image(
-            im, cfg.resize, compute_dtype=dtype))(images)
-    ycfg = yolov4_tiny.YoloConfig(input_size=cfg.resize,
-                                  compute_dtype=dtype,
-                                  s2d_stem=cfg.detector_s2d_stem)
+    net_in, ycfg = _detector_input(params, images, cfg)
     boxes_norm, confs = _detector_forward(params, net_in, ycfg, cfg)
     return jax.vmap(
         lambda b, c: extract_boxes(b, c, cfg, with_overflow=True))(
@@ -487,6 +495,13 @@ def fleet_step(params: Dict[str, Any], states: GridState, obs_b: Obs,
     batching (see _fleet_vision_poses). orientation_budget=None or PCA
     mode falls back to plain vmap."""
     if not cfg.use_vision_orientation or orientation_budget is None:
+        if cfg.detector_stem_backend == "pallas":
+            # a vmapped pallas_call gains a sequential batch grid and
+            # measured pathologically slow through this machine's
+            # tunnel (ops/pallas_raycast.py) — the fused stem is only
+            # dispatched on the un-vmapped detect_batch path below
+            import dataclasses
+            cfg = dataclasses.replace(cfg, detector_stem_backend="xla")
         return jax.vmap(
             functools.partial(step, cfg=cfg),
             in_axes=(None, 0, 0, None))(params, states, obs_b, extrinsics)
@@ -534,6 +549,16 @@ class Engine:
             from .models import yolov4_int8
             params = dict(params)
             params["detector_q"] = yolov4_int8.quantize_detector(
+                params["detector"])
+        if (cfg.detector_stem_backend in ("pallas", "im2col")
+                and cfg.detector_precision == "float"
+                and "detector_stem" not in params):
+            # fold the stem weights ONCE on the host (XLA does not
+            # reliably hoist loop-invariant weight math out of scan
+            # bodies on this backend — see ops/pallas_stem.py)
+            from .ops import pallas_stem
+            params = dict(params)
+            params["detector_stem"] = pallas_stem.prepare_stem_constants(
                 params["detector"])
         # Pin to device: checkpoint.restore returns host numpy arrays, and
         # passing those into a jitted step re-uploads every weight on
