@@ -241,27 +241,24 @@ def _stem_kernel(img_ref, wx0_ref, wx1_ref, wx2_ref, wx3_ref,
                   ((0, 0), (0, 1), (0, 1)))
           for g in range(PACK0)]                      # 4x (32, 105, 105)
 
-    # ---- conv1: 3x3/s2 (32->64) + BN + leaky, two row halves ----------
+    # ---- conv1: 3x3/s2 (32->64) + BN + leaky, one matmul --------------
     # tap (ty, tx) == phase (ty%2, tx%2) at static offset (ty//2, tx//2)
     w1 = w1_ref[:]                                    # (288, 64)
     s1 = s1_ref[0]
     b1 = b1_ref[0]
-    rows_half = quarter // 2                          # 52 output rows
-    for q in range(2):
-        i0 = q * rows_half
-        t_idx = 0
-        for ty in range(3):
-            for tx in range(3):
-                scr1_ref[t_idx] = ph[(ty % 2) * 2 + tx % 2][
-                    :, i0 + ty // 2:i0 + ty // 2 + rows_half,
-                    tx // 2:tx // 2 + quarter]        # (32, 52, 104)
-                t_idx += 1
-        i2c1 = _flat_view(scr1_ref, (288, rows_half * quarter), interp)
-        acc1 = jax.lax.dot_general(                   # (52*104, 64) f32
-            i2c1, w1, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        y = _leaky(acc1 * s1[None, :] + b1[None, :]).astype(dt)
-        out_ref[0, i0:i0 + rows_half] = y.reshape(rows_half, quarter, 64)
+    t_idx = 0
+    for ty in range(3):
+        for tx in range(3):
+            scr1_ref[t_idx] = ph[(ty % 2) * 2 + tx % 2][
+                :, ty // 2:ty // 2 + quarter,
+                tx // 2:tx // 2 + quarter]            # (32, Q, Q)
+            t_idx += 1
+    i2c1 = _flat_view(scr1_ref, (288, mq), interp)
+    acc1 = jax.lax.dot_general(                       # (Q*Q, 64) f32
+        i2c1, w1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = _leaky(acc1 * s1[None, :] + b1[None, :]).astype(dt)
+    out_ref[0] = y.reshape(quarter, quarter, 64)
 
 
 def detector_stem_im2col_xla(images: jnp.ndarray, variables, size: int,
@@ -391,7 +388,7 @@ def detector_stem_pallas(images: jnp.ndarray, variables, size: int,
         scratch_shapes=[
             pltpu.VMEM((27 * PACK0, quarter, quarter), dt),
             pltpu.VMEM((PACK0 * 32, quarter, quarter), dt),
-            pltpu.VMEM((9, 32, quarter // 2, quarter), dt),
+            pltpu.VMEM((9, 32, quarter, quarter), dt),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=28 * 1024 * 1024),

@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--rigs", type=int, default=64)
     ap.add_argument("--scan", type=int, default=4)
     ap.add_argument("--knn", default="xla")
+    ap.add_argument("--stem", default="pallas")
     ap.add_argument("ops", nargs="*", default=[])
     args = ap.parse_args()
 
@@ -38,6 +39,7 @@ def main():
 
     cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16",
                            knn_backend=args.knn,
+                           detector_stem_backend=args.stem,
                            detection_weights_file="weights/detector.npz",
                            vision_weights_file="weights/orientation.npz")
     eng = pipeline.Engine(cfg, seed=0)

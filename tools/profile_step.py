@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--knn", default="approx",
                     help="knn_backend: approx (bench.py) | xla (suite "
                          "config 5, exact)")
+    ap.add_argument("--stem", default="pallas",
+                    help="detector_stem_backend (bench default: pallas)")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +46,7 @@ def main():
     # Mirror bench.py's flagship configuration exactly.
     cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16",
                            knn_backend=args.knn,
+                           detector_stem_backend=args.stem,
                            detection_weights_file="weights/detector.npz",
                            vision_weights_file="weights/orientation.npz")
     eng = pipeline.Engine(cfg, seed=0)
