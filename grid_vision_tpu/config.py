@@ -128,10 +128,17 @@ class GridVisionConfig:
                                      # (ops/pallas_stem.py) — the thin-
                                      # channel front end XLA runs at
                                      # 5.7-31 TF/s with HBM bounces;
-                                     # "im2col" runs the same phase-
-                                     # resize + packed-matmul math as
-                                     # batched XLA ops. Both float-
-                                     # rounding-equal (tests/
+                                     # "pallas2" adds the fused first
+                                     # CSP stage kernel on top
+                                     # (ops/pallas_csp.py — measured
+                                     # SLOWER, 5559 vs 7197 fps: at
+                                     # C=64 the materialized im2col
+                                     # outweighs the matmul win; see
+                                     # docs/PERF.md); "im2col"
+                                     # runs the same phase-resize +
+                                     # packed-matmul math as batched
+                                     # XLA ops. All float-rounding-
+                                     # equal (tests/
                                      # test_pallas_stem.py), float
                                      # detector only
     knn_backend: str = "xla"         # "xla" (exact, k argmin passes),
@@ -219,7 +226,8 @@ class GridVisionConfig:
                 "yaw_aware_rasterization / vision_depth_refine / "
                 "detector_precision != 'float') deviate from reference "
                 "behavior; set compat=False to enable them")
-        if self.detector_stem_backend not in ("xla", "pallas", "im2col"):
+        if self.detector_stem_backend not in ("xla", "pallas",
+                                              "pallas2", "im2col"):
             raise ValueError(
                 f"unknown detector_stem_backend "
                 f"{self.detector_stem_backend!r}")

@@ -56,6 +56,11 @@ class YoloConfig:
     # dummies so the tree matches the canonical form and checkpoints
     # are shared.
     stem_external: bool = False
+    # The input is the POST-first-maxpool stage-3 activation (B, S/8,
+    # S/8, 128): ConvBN_2 + CSPBlock_0 + max_pool also ran externally
+    # (ops/pallas_csp.py); implies stem_external semantics for the
+    # earlier layers. Params again materialized on dummies.
+    front_external: bool = False
 
     @property
     def num_anchors_total(self) -> int:
@@ -153,20 +158,25 @@ class YoloV4Tiny(nn.Module):
         c = self.cfg.num_classes
         x = x.astype(d)
         s2d = self.cfg.s2d_stem
-        if self.cfg.stem_external:
-            # x is already the post-stem (B, S/4, S/4, 64) activation;
-            # run ConvBN_0/1 on dummies so the param tree (and thus any
+        if self.cfg.stem_external or self.cfg.front_external:
+            # x is already the post-stem (B, S/4, S/4, 64) activation
+            # (or post-CSP stage for front_external); run the bypassed
+            # blocks on dummies so the param tree (and thus any
             # checkpoint) is identical to the canonical form — XLA
             # eliminates the dead compute.
             dummy = jnp.zeros((1, 8, 8, 3), x.dtype)
             dummy = ConvBN(32, 3, 2, dtype=d)(dummy, train)
-            _ = ConvBN(64, 3, 2, dtype=d)(dummy, train)
+            dummy = ConvBN(64, 3, 2, dtype=d)(dummy, train)
         else:
             x = ConvBN(32, 3, 2, dtype=d, s2d=s2d)(x, train)   # 208
             x = ConvBN(64, 3, 2, dtype=d, s2d=s2d)(x, train)   # 104
-        x = ConvBN(64, 3, dtype=d)(x, train)
-        x, _ = CSPBlock(64, dtype=d)(x, train)
-        x = nn.max_pool(x, (2, 2), (2, 2))             # 52, 128ch
+        if self.cfg.front_external:
+            dummy = ConvBN(64, 3, dtype=d)(dummy, train)
+            _ = CSPBlock(64, dtype=d)(dummy, train)
+        else:
+            x = ConvBN(64, 3, dtype=d)(x, train)
+            x, _ = CSPBlock(64, dtype=d)(x, train)
+            x = nn.max_pool(x, (2, 2), (2, 2))         # 52, 128ch
         x = ConvBN(128, 3, dtype=d)(x, train)
         x, _ = CSPBlock(128, dtype=d)(x, train)
         x = nn.max_pool(x, (2, 2), (2, 2))             # 26, 256ch

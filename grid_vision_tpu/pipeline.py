@@ -77,19 +77,30 @@ def _detector_input(params, images: jnp.ndarray, cfg: GridVisionConfig):
     to an in-graph fold for direct callers)."""
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
              else jnp.float32)
-    external = (cfg.detector_stem_backend in ("pallas", "im2col")
+    backend = cfg.detector_stem_backend
+    external = (backend in ("pallas", "pallas2", "im2col")
                 and cfg.detector_precision == "float")
+    front = external and backend == "pallas2"
     ycfg = yolov4_tiny.YoloConfig(input_size=cfg.resize,
                                   compute_dtype=dtype,
                                   s2d_stem=cfg.detector_s2d_stem,
-                                  stem_external=external)
+                                  stem_external=external and not front,
+                                  front_external=front)
     if external:
         from .ops import pallas_stem
-        fn = (pallas_stem.detector_stem_pallas
-              if cfg.detector_stem_backend == "pallas"
-              else pallas_stem.detector_stem_im2col_xla)
-        net_in = fn(images, params["detector"], cfg.resize, dtype,
-                    consts=params.get("detector_stem"))
+        if backend == "im2col":
+            net_in = pallas_stem.detector_stem_im2col_xla(
+                images, params["detector"], cfg.resize, dtype,
+                consts=params.get("detector_stem"))
+        else:
+            net_in = pallas_stem.detector_stem_pallas(
+                images, params["detector"], cfg.resize, dtype,
+                consts=params.get("detector_stem"))
+            if front:
+                from .ops import pallas_csp
+                net_in = pallas_csp.detector_csp_pallas(
+                    net_in, params["detector"], dtype,
+                    consts=params.get("detector_csp"))
     else:
         net_in = jax.vmap(
             lambda im: preprocess.preprocess_detector_image(
@@ -495,7 +506,7 @@ def fleet_step(params: Dict[str, Any], states: GridState, obs_b: Obs,
     batching (see _fleet_vision_poses). orientation_budget=None or PCA
     mode falls back to plain vmap."""
     if not cfg.use_vision_orientation or orientation_budget is None:
-        if cfg.detector_stem_backend == "pallas":
+        if cfg.detector_stem_backend in ("pallas", "pallas2"):
             # a vmapped pallas_call gains a sequential batch grid and
             # measured pathologically slow through this machine's
             # tunnel (ops/pallas_raycast.py) — the fused stem is only
@@ -550,7 +561,8 @@ class Engine:
             params = dict(params)
             params["detector_q"] = yolov4_int8.quantize_detector(
                 params["detector"])
-        if (cfg.detector_stem_backend in ("pallas", "im2col")
+        if (cfg.detector_stem_backend in ("pallas", "pallas2",
+                                          "im2col")
                 and cfg.detector_precision == "float"
                 and "detector_stem" not in params):
             # fold the stem weights ONCE on the host (XLA does not
@@ -559,6 +571,13 @@ class Engine:
             from .ops import pallas_stem
             params = dict(params)
             params["detector_stem"] = pallas_stem.prepare_stem_constants(
+                params["detector"])
+        if (cfg.detector_stem_backend == "pallas2"
+                and cfg.detector_precision == "float"
+                and "detector_csp" not in params):
+            from .ops import pallas_csp
+            params = dict(params)
+            params["detector_csp"] = pallas_csp.prepare_csp_constants(
                 params["detector"])
         # Pin to device: checkpoint.restore returns host numpy arrays, and
         # passing those into a jitted step re-uploads every weight on

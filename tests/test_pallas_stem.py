@@ -50,6 +50,23 @@ def test_stem_kernel_matches_xla_chain_f32():
         np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
                                    rtol=1e-4, atol=1e-4)
 
+    # the fused CSP-stage kernel on top (detector_stem_backend="pallas2")
+    from grid_vision_tpu.ops import pallas_csp
+    cfg_front = yolov4_tiny.YoloConfig(compute_dtype=jnp.float32,
+                                       front_external=True)
+    v3 = yolov4_tiny.init_params(jax.random.PRNGKey(0), cfg_front)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(v3)
+    stem = pallas_stem.detector_stem_pallas(imgs, variables, 416,
+                                            jnp.float32)
+    stage3 = pallas_csp.detector_csp_pallas(stem, variables, jnp.float32)
+    assert stage3.shape == (2, 52, 52, 128)
+    b_p, c_p = yolov4_tiny.forward(variables, stage3, cfg_front)
+    np.testing.assert_allclose(np.asarray(b_p), np.asarray(b_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-4)
+
 
 def test_detect_pallas_stem_backend_matches_xla():
     """Pipeline-level: detect() with detector_stem_backend='pallas'
