@@ -162,15 +162,14 @@ def main():
 
     # ---- config 2: detect + NMS latency --------------------------------
     if want('2'):
-        ycfg = yolov4_tiny.YoloConfig()
-
+        # the SHIPPED single-image path (pipeline.detect dispatches the
+        # configured detector_stem_backend, so this measures what the
+        # Engine actually runs — it used to hand-roll the XLA front end
+        # and silently diverge from the headline configs)
         @jax.jit
         def detect_nms(params, img, key):
             img = img + jax.random.uniform(key, (), jnp.float32, -1, 1)
-            from grid_vision_tpu.ops.preprocess import preprocess_detector_image
-            net = preprocess_detector_image(img, cfg.resize)
-            b, c = yolov4_tiny.forward(params["detector"], net[None], ycfg)
-            return extract_boxes(b[0], c[0], cfg).xyxy
+            return pipeline.detect(params, img, cfg).xyxy
 
         fps2 = time_chunks(lambda: detect_nms(eng.params, obs1.image, k))
         results["detect_nms_single_fps"] = fps2

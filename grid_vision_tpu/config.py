@@ -231,6 +231,12 @@ class GridVisionConfig:
             raise ValueError(
                 f"unknown detector_stem_backend "
                 f"{self.detector_stem_backend!r}")
+        if (self.detector_stem_backend != "xla"
+                and self.detector_precision != "float"):
+            raise ValueError(
+                "detector_stem_backend != 'xla' applies only to the "
+                "float detector; it would be silently ignored with "
+                f"detector_precision={self.detector_precision!r}")
         if self.orientation_arch not in ("s2d", "resnet"):
             raise ValueError(
                 f"unknown orientation_arch {self.orientation_arch!r}")

@@ -49,7 +49,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_stem import _flat_store, _flat_view, _fold_bn, _leaky
+from .pallas_stem import (_block_diag_pack, _flat_view, _fold_bn,
+                          _full_spec, _leaky, _out_sds)
 
 
 # ---------------------------------------------------------------------------
@@ -69,22 +70,8 @@ def prepare_csp_constants(variables):
                        xp.float32).reshape(k * k * cin, cout)
         sc, sh = _fold_bn(scope_p["BatchNorm_0"], scope_s["BatchNorm_0"],
                           xp)
-        if xp is np:
-            blk = np.zeros((pack * k * k * cin, pack * cout), np.float32)
-            for g in range(pack):
-                blk[g * k * k * cin:(g + 1) * k * k * cin,
-                    g * cout:(g + 1) * cout] = w
-        else:
-            kk = k * k * cin
-            eye = np.zeros((pack, pack * kk, kk), np.float32)
-            sel = np.zeros((pack, cout, pack * cout), np.float32)
-            for g in range(pack):
-                eye[g, g * kk:(g + 1) * kk] = np.eye(kk, dtype=np.float32)
-                sel[g, :, g * cout:(g + 1) * cout] = np.eye(
-                    cout, dtype=np.float32)
-            blk = jnp.einsum("gik,kf,gfj->ij", jnp.asarray(eye), w,
-                             jnp.asarray(sel))
-        return (blk, xp.tile(sc, pack).reshape(1, pack * cout),
+        return (_block_diag_pack(w, pack, xp),
+                xp.tile(sc, pack).reshape(1, pack * cout),
                 xp.tile(sh, pack).reshape(1, pack * cout))
 
     w2, s2, b2 = conv_fold(p["ConvBN_2"], s["ConvBN_2"], 3, 64, 64,
@@ -214,11 +201,6 @@ def detector_csp_pallas(x: jnp.ndarray, variables,
         axis=1)                                       # (B, 4, 64, q, q)
     planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1)))
 
-    def full(a):
-        a = jnp.asarray(a)
-        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
-                            memory_space=pltpu.VMEM)
-
     args = tuple(
         jnp.asarray(consts[k], dt if k in ("w2", "wa", "wb", "wc")
                     else jnp.float32)
@@ -226,17 +208,14 @@ def detector_csp_pallas(x: jnp.ndarray, variables,
                   "wb", "sb", "bb", "wc", "sc", "bc"))
     interp = jax.default_backend() != "tpu"
     kernel = functools.partial(_csp_kernel, q=q, dt=dt, interp=interp)
-    vma = getattr(jax.typeof(planes), "vma", None)
-    out_sds = (jax.ShapeDtypeStruct((b, 128, q, q), dt, vma=vma)
-               if vma is not None
-               else jax.ShapeDtypeStruct((b, 128, q, q), dt))
+    out_sds = _out_sds((b, 128, q, q), dt, planes)
     out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[pl.BlockSpec((1, 4, 64, q + 2, q + 2),
                                lambda i: (i, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM)]
-                 + [full(a) for a in args],
+                 + [_full_spec(a) for a in args],
         out_specs=pl.BlockSpec((1, 128, q, q), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=out_sds,

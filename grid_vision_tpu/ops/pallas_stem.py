@@ -28,8 +28,8 @@ stays in VMEM and the convs run as im2col matmuls:
     array; packed, the same pass computes 4 pixels (K=108, N=128), 4x
     fewer MXU cycles. The repacks are free reshapes in the flat pixel
     axis plus one small in-VMEM relayout.
-  - conv1 (K=9*32=288, N=64) runs as a plain im2col matmul in two
-    column halves to bound peak VMEM.
+  - conv1 (K=9*32=288, N=64) runs as one plain im2col matmul; its tap
+    reads are static slices of conv0's phase planes.
 
 BN folds to a per-channel scale+shift computed host-side in f32 from
 the flax params (inference semantics of nn.BatchNorm with running
@@ -100,6 +100,42 @@ def _fold_bn(bn_params, bn_stats, xp, eps: float = 1e-5):
     return scale, beta - mean * scale
 
 
+def _block_diag_pack(w, pack, xp):
+    """(K, F) weight -> (pack*K, pack*F) block-diagonal matrix (the
+    phase/pixel-group packing both fused kernels use to fill the MXU's
+    128 lanes). np path writes blocks directly; the tracer path builds
+    the same matrix with constant selectors (no scatter on tracers)."""
+    kk, f = int(w.shape[0]), int(w.shape[1])
+    if xp is np:
+        blk = np.zeros((pack * kk, pack * f), np.float32)
+        for g in range(pack):
+            blk[g * kk:(g + 1) * kk, g * f:(g + 1) * f] = w
+        return blk
+    eye = np.zeros((pack, pack * kk, kk), np.float32)
+    sel = np.zeros((pack, f, pack * f), np.float32)
+    for g in range(pack):
+        eye[g, g * kk:(g + 1) * kk] = np.eye(kk, dtype=np.float32)
+        sel[g, :, g * f:(g + 1) * f] = np.eye(f, dtype=np.float32)
+    return jnp.einsum("gik,kf,gfj->ij", jnp.asarray(eye), w,
+                      jnp.asarray(sel))
+
+
+def _full_spec(a):
+    """BlockSpec for a whole (grid-invariant) VMEM operand."""
+    a = jnp.asarray(a)
+    return pl.BlockSpec(a.shape, lambda i, _nd=a.ndim: (0,) * _nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _out_sds(shape, dt, like):
+    """ShapeDtypeStruct carrying `like`'s vma (required for out_shape
+    under jax.shard_map with check_vma — the shared-grid/city paths)."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma is not None:
+        return jax.ShapeDtypeStruct(shape, dt, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dt)
+
+
 def prepare_stem_constants(variables):
     """Fold the stem weights ONCE from concrete detector variables
     (Engine init) — the per-dispatch kernel then consumes plain device
@@ -122,18 +158,7 @@ def prepare_stem_constants(variables):
     s0, b0 = _fold_bn(p["ConvBN_0"]["BatchNorm_0"],
                       s["ConvBN_0"]["BatchNorm_0"], xp)
     # block-diagonal pack: PACK0 pixels per MXU row
-    if xp is np:
-        w0blk = np.zeros((PACK0 * 27, PACK0 * 32), np.float32)
-        for g in range(PACK0):
-            w0blk[g * 27:(g + 1) * 27, g * 32:(g + 1) * 32] = w0
-    else:
-        eye = np.zeros((PACK0, PACK0 * 27, 27), np.float32)
-        sel = np.zeros((PACK0, 32, PACK0 * 32), np.float32)
-        for g in range(PACK0):
-            eye[g, g * 27:(g + 1) * 27] = np.eye(27, dtype=np.float32)
-            sel[g, :, g * 32:(g + 1) * 32] = np.eye(32, dtype=np.float32)
-        w0blk = jnp.einsum("gik,kf,gfj->ij", jnp.asarray(eye), w0,
-                           jnp.asarray(sel))
+    w0blk = _block_diag_pack(w0, PACK0, xp)
     s0blk = xp.tile(s0, PACK0).reshape(1, PACK0 * 32)
     b0blk = xp.tile(b0, PACK0).reshape(1, PACK0 * 32)
 
@@ -223,14 +248,13 @@ def _stem_kernel(img_ref, wx0_ref, wx1_ref, wx2_ref, wx3_ref,
     # no minor-dim-merging value reshape, but reading the (108, Q, Q)
     # scratch back as (108, Q*Q) is a supported contiguous view
     i2c0 = _flat_view(scr0_ref, (27 * PACK0, mq), interp)  # (108, mq)
-    # f32 accumulation (Mosaic requires 32-bit matmul acc), rounded to
-    # dt before the BN scale/shift — the XLA path's bf16 nn.Conv +
-    # bf16 BN semantics
+    # f32 accumulation (Mosaic requires 32-bit matmul acc) with BN +
+    # leaky also in f32 (bf16 compares don't lower on this target);
+    # rounded to dt only at the store — slightly TIGHTER than the XLA
+    # path's bf16 BN, within the pinned tolerances
     acc0 = jax.lax.dot_general(                       # (4*32, mq) f32
         w0_ref[:], i2c0, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    # BN + leaky in f32 (bf16 compares don't lower on this target),
-    # rounded to dt at the store
     acc0 = _leaky(acc0 * s0_ref[0][:, None] + b0_ref[0][:, None])
     # un-flatten conv0's output back to spatial phase planes through
     # the scratch view (the dual of the i2c0 flatten)
@@ -351,11 +375,6 @@ def detector_stem_pallas(images: jnp.ndarray, variables, size: int,
     # into the producer); inside, channel planes are natural 2D tiles.
     img_p = images.astype(dt).transpose(0, 3, 1, 2)
 
-    def full(a):
-        a = jnp.asarray(a)
-        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
-                            memory_space=pltpu.VMEM)
-
     args = (tuple(jnp.asarray(m, dt) for m in wx4)
             + tuple(jnp.asarray(m, dt) for m in wy4)
             + (jnp.asarray(consts["w0blk"], dt),
@@ -368,19 +387,13 @@ def detector_stem_pallas(images: jnp.ndarray, variables, size: int,
     interp = jax.default_backend() != "tpu"
     kernel = functools.partial(_stem_kernel, size=size, dt=dt,
                                interp=interp)
-    # under jax.shard_map (the shared-grid / city paths) out_shape must
-    # declare how it varies over mesh axes — inherit the input's vma
-    vma = getattr(jax.typeof(img_p), "vma", None)
-    out_sds = (jax.ShapeDtypeStruct((b, quarter, quarter, 64), dt,
-                                    vma=vma)
-               if vma is not None
-               else jax.ShapeDtypeStruct((b, quarter, quarter, 64), dt))
+    out_sds = _out_sds((b, quarter, quarter, 64), dt, img_p)
     return pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)]
-                 + [full(a) for a in args],
+                 + [_full_spec(a) for a in args],
         out_specs=pl.BlockSpec((1, quarter, quarter, 64),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -60,6 +60,54 @@ class Fleet:
                           None, repl),
             donate_argnums=(1,),
         )
+        self._compacted: Dict[int, Any] = {}
+
+    def _make_compacted(self, budget_per_rig: int):
+        """The PRODUCTION compacted path (pipeline.fleet_step), mesh-
+        sharded: each device runs ONE batched detector invocation over
+        its LOCAL rigs — the un-vmapped path the fused Pallas stem
+        (detector_stem_backend='pallas') dispatches on, where the plain
+        vmap(step) above falls back to the XLA stem (the BatchTracer
+        guard in pipeline._detector_input). The orientation budget and
+        crop compaction apply PER SHARD (local load-proportionality;
+        still zero cross-device collectives)."""
+        try:
+            from jax import shard_map
+        except ImportError:          # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec
+        local = self.n_rigs // self.mesh.devices.size
+        budget = budget_per_rig * local
+        cfg = self.cfg
+        rig = PartitionSpec("rig")
+        rep = PartitionSpec()
+
+        # check_vma=False: the fleet path has NO collectives by design,
+        # and interpret-mode pallas_call (the CPU test/dryrun path)
+        # cannot thread varying-manual-axes through its internal grid
+        # loop — jax's own suggested workaround for that limitation
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(rep, rig, rig, rep),
+            out_specs=(rig, rig), check_vma=False)
+        def step_c(params, states, obs, extr):
+            return pipeline.fleet_step(params, states, obs, extr, cfg,
+                                       orientation_budget=budget)
+
+        return step_c
+
+    def compacted_step(self, states: GridState, obs_batch: Obs,
+                       budget_per_rig: int = 5):
+        """One fleet tick through pipeline.fleet_step per shard (fleet-
+        compacted orientation batching; the bench headline path). Equal
+        to __call__ when the budget covers the shard's dynamic load
+        (tests/test_parallel.py)."""
+        fn = self._compacted.get(budget_per_rig)
+        if fn is None:
+            fn = self._compacted[budget_per_rig] = self._make_compacted(
+                budget_per_rig)
+        return fn(self.params, states, obs_batch, self.extrinsics)
 
     def _state_struct(self):
         return GridState.create(self.cfg)

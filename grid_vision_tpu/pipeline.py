@@ -78,6 +78,22 @@ def _detector_input(params, images: jnp.ndarray, cfg: GridVisionConfig):
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
              else jnp.float32)
     backend = cfg.detector_stem_backend
+    if backend in ("pallas", "pallas2"):
+        try:
+            from jax._src.interpreters.batching import BatchTracer
+            batched = isinstance(images, BatchTracer)
+        except ImportError:    # jax moved it; fall back to duck-typing
+            batched = any(t.__name__ == "BatchTracer"
+                          for t in type(images).__mro__)
+        if batched:
+            # a vmapped pallas_call gains a sequential batch grid and
+            # measured pathologically slow on this backend
+            # (ops/pallas_raycast.py) — every vmap(step/detect) owner
+            # (parallel/fleet, shared_grid, eval_map) falls back to the
+            # XLA stem here, at one altitude. (A jit wrapped INSIDE the
+            # vmap would hide the BatchTracer; the repo has no such
+            # call site — vmap owners map the plain functions.)
+            backend = "xla"
     external = (backend in ("pallas", "pallas2", "im2col")
                 and cfg.detector_precision == "float")
     front = external and backend == "pallas2"
@@ -506,13 +522,8 @@ def fleet_step(params: Dict[str, Any], states: GridState, obs_b: Obs,
     batching (see _fleet_vision_poses). orientation_budget=None or PCA
     mode falls back to plain vmap."""
     if not cfg.use_vision_orientation or orientation_budget is None:
-        if cfg.detector_stem_backend in ("pallas", "pallas2"):
-            # a vmapped pallas_call gains a sequential batch grid and
-            # measured pathologically slow through this machine's
-            # tunnel (ops/pallas_raycast.py) — the fused stem is only
-            # dispatched on the un-vmapped detect_batch path below
-            import dataclasses
-            cfg = dataclasses.replace(cfg, detector_stem_backend="xla")
+        # (the vmapped steps fall back to the XLA stem inside
+        # _detector_input — see the BatchTracer guard there)
         return jax.vmap(
             functools.partial(step, cfg=cfg),
             in_axes=(None, 0, 0, None))(params, states, obs_b, extrinsics)

@@ -68,6 +68,36 @@ def test_stem_kernel_matches_xla_chain_f32():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_vmapped_detect_falls_back_to_xla_stem():
+    """jax.vmap(detect) with a pallas stem backend must not lift the
+    kernel through vmap (pathological on the tunnel backend) — the
+    BatchTracer guard in _detector_input swaps to the XLA stem, so the
+    vmapped result equals the plain XLA path exactly."""
+    import functools
+
+    base = dict(max_points=512, compute_dtype="float32")
+    cfg_p = GridVisionConfig(**base, detector_stem_backend="pallas")
+    cfg_x = GridVisionConfig(**base)
+    eng = pipeline.Engine(cfg_x, seed=0)
+    imgs = _images(3, seed=4) * 0.5
+    bv = jax.jit(jax.vmap(functools.partial(pipeline.detect, cfg=cfg_p),
+                          in_axes=(None, 0)))(eng.params, imgs)
+    bx = jax.jit(jax.vmap(functools.partial(pipeline.detect, cfg=cfg_x),
+                          in_axes=(None, 0)))(eng.params, imgs)
+    np.testing.assert_array_equal(np.asarray(bv.valid),
+                                  np.asarray(bx.valid))
+    np.testing.assert_allclose(np.asarray(bv.xyxy), np.asarray(bx.xyxy))
+
+
+def test_stem_backend_rejects_int8():
+    """detector_stem_backend != 'xla' would be silently ignored by the
+    int8 detector; validate() must fail loudly instead."""
+    import pytest
+    with pytest.raises(ValueError, match="float detector"):
+        GridVisionConfig(detector_stem_backend="pallas",
+                         detector_precision="int8", compat=False).validate()
+
+
 def test_detect_pallas_stem_backend_matches_xla():
     """Pipeline-level: detect() with detector_stem_backend='pallas'
     finds the same boxes as the XLA path on a rendered scene (shipped

@@ -53,6 +53,36 @@ def test_fleet_8_devices():
     assert (lo <= 0.86).all()
 
 
+def test_fleet_compacted_step_matches_vmap():
+    """Fleet.compacted_step (pipeline.fleet_step per shard, the bench
+    headline path) must equal plain vmap(step) when the per-shard
+    budget covers the dynamic load — and must run the fused Pallas stem
+    per shard (interpret mode here) without the vmap fallback."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, use_vision_orientation=True)
+    n_rigs = 8
+    fleet = Fleet(cfg, n_rigs=n_rigs, seed=0)
+    rng = np.random.default_rng(3)
+    obs = fleet.shard_obs(make_obs(rng, cfg, n_rigs))
+    s_ref, _ = fleet(fleet.init_states(), obs)
+    # budget_per_rig = max_orientation_batch covers everything -> equal
+    s_c, outs = fleet.compacted_step(fleet.init_states(), obs,
+                                     budget_per_rig=cfg.max_orientation_batch)
+    np.testing.assert_array_equal(np.asarray(s_c.log_odds),
+                                  np.asarray(s_ref.log_odds))
+
+    cfg_p = dataclasses.replace(cfg, detector_stem_backend="pallas")
+    fleet_p = Fleet(cfg_p, n_rigs=n_rigs, seed=0)
+    s_p, _ = fleet_p.compacted_step(
+        fleet_p.init_states(), obs,
+        budget_per_rig=cfg.max_orientation_batch)
+    # pallas stem differs from XLA only at float rounding
+    np.testing.assert_allclose(np.asarray(s_p.log_odds),
+                               np.asarray(s_ref.log_odds),
+                               atol=1e-3)
+
+
 def test_fleet_matches_single_rig():
     """A rig in the fleet must produce bit-identical grids to the same
     rig stepped alone (pure data parallelism, no cross-rig effects)."""

@@ -52,7 +52,21 @@ def main():
     cfg_a = GridVisionConfig(max_points=8192, compute_dtype="bfloat16",
                              detector_stem_backend=args.a)
     cfg_b = dataclasses.replace(cfg_a, detector_stem_backend=args.b)
-    eng = pipeline.Engine(cfg_a, seed=0)   # params carry detector_stem
+    eng = pipeline.Engine(cfg_a, seed=0)
+    # fold the stem/CSP constants for BOTH variants regardless of which
+    # backend cfg_a selects — otherwise the variant whose consts are
+    # missing re-derives them in-graph inside the scan body (XLA does
+    # not hoist that; see ops/pallas_stem.prepare_stem_constants) and
+    # the A/B is silently biased against it
+    from grid_vision_tpu.ops import pallas_csp, pallas_stem
+    params = dict(eng.params)
+    if "detector_stem" not in params:
+        params["detector_stem"] = jax.device_put(
+            pallas_stem.prepare_stem_constants(params["detector"]))
+    if "detector_csp" not in params:
+        params["detector_csp"] = jax.device_put(
+            pallas_csp.prepare_csp_constants(params["detector"]))
+    eng.params = params
 
     keys = jax.random.split(jax.random.PRNGKey(0), args.rigs)
     obs_b = jax.jit(jax.vmap(functools.partial(synth_obs, cfg=cfg_a)))(
@@ -116,7 +130,10 @@ def main():
                 rates[name].append(fps)
                 log(f"group {g} {name:7s} {fps:8.0f} fused fps")
     for name, rs in rates.items():
-        med = float(np.median(rs)) if rs else float("nan")
+        if not rs:
+            print(f"{name}: no valid windows (every dt <= sync)")
+            continue
+        med = float(np.median(rs))
         print(f"{name}: median {med:.0f} fused fps over {len(rs)} "
               f"windows (min {min(rs):.0f} max {max(rs):.0f})")
 
