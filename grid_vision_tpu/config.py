@@ -134,7 +134,11 @@ class GridVisionConfig:
                                      # SLOWER, 5559 vs 7197 fps: at
                                      # C=64 the materialized im2col
                                      # outweighs the matmul win; see
-                                     # docs/PERF.md); "im2col"
+                                     # docs/PERF.md); "pallas3" is the
+                                     # same CSP-stage fusion with FLAT
+                                     # lane-aligned activations (halo-
+                                     # junk masking) fixing pallas2's
+                                     # misaligned 2D tap slabs; "im2col"
                                      # runs the same phase-resize +
                                      # packed-matmul math as batched
                                      # XLA ops. All float-rounding-
@@ -227,7 +231,8 @@ class GridVisionConfig:
                 "detector_precision != 'float') deviate from reference "
                 "behavior; set compat=False to enable them")
         if self.detector_stem_backend not in ("xla", "pallas",
-                                              "pallas2", "im2col"):
+                                              "pallas2", "pallas3",
+                                              "im2col"):
             raise ValueError(
                 f"unknown detector_stem_backend "
                 f"{self.detector_stem_backend!r}")

@@ -183,6 +183,224 @@ def _csp_kernel(xph_ref, w2_ref, s2_ref, b2_ref, wa_ref, sa_ref, ba_ref,
 # Entry point
 # ---------------------------------------------------------------------------
 
+def prepare_csp_flat_constants(variables):
+    """Constant fold for the FLAT-layout CSP kernel (detector_csp_flat,
+    backend "pallas3"): same weights as prepare_csp_constants but
+    ConvBN_2 packs TWO output phases block-diagonally (K=1152, N=128 —
+    full MXU lanes; the pack=1 form runs N=64)."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+    xp = jnp if isinstance(p["ConvBN_2"]["Conv_0"]["kernel"],
+                           jax.core.Tracer) else np
+
+    def conv_fold(scope_p, scope_s, k, cin, cout, pack):
+        w = xp.asarray(scope_p["Conv_0"]["kernel"],
+                       xp.float32).reshape(k * k * cin, cout)
+        sc, sh = _fold_bn(scope_p["BatchNorm_0"], scope_s["BatchNorm_0"],
+                          xp)
+        return (_block_diag_pack(w, pack, xp),
+                xp.tile(sc, pack).reshape(1, pack * cout),
+                xp.tile(sh, pack).reshape(1, pack * cout))
+
+    w2, s2, b2 = conv_fold(p["ConvBN_2"], s["ConvBN_2"], 3, 64, 64,
+                           pack=2)
+    csp_p, csp_s = p["CSPBlock_0"], s["CSPBlock_0"]
+    wa, sa, ba = conv_fold(csp_p["ConvBN_0"], csp_s["ConvBN_0"], 3, 32,
+                           32, pack=2)
+    wb, sb, bb = conv_fold(csp_p["ConvBN_1"], csp_s["ConvBN_1"], 3, 32,
+                           32, pack=2)
+    wc, sc_, bc = conv_fold(csp_p["ConvBN_2"], csp_s["ConvBN_2"], 1, 64,
+                            64, pack=2)
+    return dict(w2=w2, s2=s2, b2=b2, wa=wa, sa=sa, ba=ba,
+                wb=wb, sb=sb, bb=bb, wc=wc, sc=sc_, bc=bc)
+
+
+def _flat_tap_off(g_out: int, dy: int, dx: int, pitch: int):
+    """Flat offset + source phase of _phase_tap's slice when the padded
+    (q+2, q+2) phase plane is stored ROW-MAJOR FLAT with pitch q+2: the
+    (oy:oy+q, ox:ox+q) 2D window becomes ONE unit-stride slice
+    [oy*pitch+ox : oy*pitch+ox + q*pitch) whose only artifacts are 2
+    junk columns per row (output cols j in {q, q+1}, identical for every
+    tap), masked to zero before stores land them in halo cells."""
+    pi, pj = divmod(g_out, 2)
+    gy, oy = (pi + dy - 1) % 2, (pi + dy - 1 + 2) // 2
+    gx, ox = (pj + dx - 1) % 2, (pj + dx - 1 + 2) // 2
+    return gy * 2 + gx, oy * pitch + ox
+
+
+def _csp_flat_kernel(xflat_ref, mask_ref, w2_ref, s2_ref, b2_ref,
+                     wa_ref, sa_ref, ba_ref, wb_ref, sb_ref, bb_ref,
+                     wc_ref, sc_ref, bc_ref, out_ref,
+                     scrT_ref, scrY2_ref, scrX1_ref, scrX2_ref,
+                     scrC_ref, *, q: int, dt):
+    """FLAT-layout variant of _csp_kernel (backend "pallas3").
+
+    Every activation lives as phase planes flattened row-major WITH
+    their SAME-pad halo: (4, C, P) where P = (q+2)^2. A 3x3 tap is then
+    ONE contiguous (C, q*(q+2)) slice — fully lane-aligned VMEM traffic,
+    unlike _csp_kernel's (C, 52, 52) 2D slabs whose minor dim fills 52
+    of 128 lanes (the measured reason pallas2 lost; docs/PERF.md). The
+    2 junk columns per row that ride the flat window are masked to zero
+    and land EXACTLY in the destination's left/right halo cells, so the
+    zero-halo invariant is self-maintaining; only the top/bottom halo
+    strips need explicit zeroing per buffer."""
+    pitch = q + 2
+    # flat planes carry ONE extra zero tail row (pitch cells) so the
+    # bottom-row taps' junk columns can read past the last padded row
+    # (they wrap to "the next row", which must exist to slice)
+    P = pitch * pitch + pitch
+    L = q * pitch
+    lo = pitch + 1                       # interior store offset (1, 1)
+    mask = mask_ref[0]                   # (L,) f32: 0 at junk columns
+    xflat = xflat_ref[0]                 # (4, 64, P)
+
+    def store(scr, g, c0, acc):
+        """mask + round + store one phase's (C, L) conv output into the
+        interior of its flat padded plane."""
+        scr[g, c0:c0 + acc.shape[0], lo:lo + L] = (
+            (acc * mask[None, :]).astype(dt))
+
+    def zero_halo(scr, nph, c):
+        for g in range(nph):
+            scr[g, :, 0:lo] = jnp.zeros((c, lo), dt)
+            scr[g, :, lo + L:P] = jnp.zeros((c, P - lo - L), dt)
+
+    zero_halo(scrY2_ref, 4, 64)
+    zero_halo(scrX1_ref, 4, 32)
+    zero_halo(scrX2_ref, 4, 32)
+
+    # ---- ConvBN_2 (3x3 64->64), TWO phases per matmul (K=1152, N=128) -
+    for pair in range(2):
+        for gl in range(2):
+            g = pair * 2 + gl
+            t = 0
+            for dy in range(3):
+                for dx in range(3):
+                    s, off = _flat_tap_off(g, dy, dx, pitch)
+                    scrT_ref[gl * 576 + t * 64:gl * 576 + (t + 1) * 64] \
+                        = xflat[s, :, off:off + L]
+                    t += 1
+        acc = jax.lax.dot_general(
+            w2_ref[:], scrT_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (128, L)
+        acc = _leaky(acc * s2_ref[0][:, None] + b2_ref[0][:, None])
+        for gl in range(2):
+            store(scrY2_ref, pair * 2 + gl, 0, acc[gl * 64:(gl + 1) * 64])
+
+    # ---- CSP 3x3 convs (32->32), phase pairs (K=576, N=64) ------------
+    def csp_conv(src_ref, cin0, w_ref, s_ref, b_ref, dst_ref):
+        for pair in range(2):
+            for gl in range(2):
+                g = pair * 2 + gl
+                t = 0
+                for dy in range(3):
+                    for dx in range(3):
+                        s, off = _flat_tap_off(g, dy, dx, pitch)
+                        scrT_ref[gl * 288 + t * 32:
+                                 gl * 288 + (t + 1) * 32] \
+                            = src_ref[s, cin0:cin0 + 32, off:off + L]
+                        t += 1
+            acc = jax.lax.dot_general(
+                w_ref[:], scrT_ref[0:576], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (64, L)
+            acc = _leaky(acc * s_ref[0][:, None] + b_ref[0][:, None])
+            for gl in range(2):
+                store(dst_ref, pair * 2 + gl, 0,
+                      acc[gl * 32:(gl + 1) * 32])
+
+    csp_conv(scrY2_ref, 32, wa_ref, sa_ref, ba_ref, scrX1_ref)
+    csp_conv(scrX1_ref, 0, wb_ref, sb_ref, bb_ref, scrX2_ref)
+
+    # ---- CSP ConvBN_2 (1x1 on concat(x2, x1)), phase pairs ------------
+    # x3's junk columns carry leaky(bias) garbage (the 1x1 reads halo
+    # zeros there) — harmless: the pool max below keeps them junk and
+    # the XLA caller slices them away.
+    x3 = [None] * 4
+    for pair in range(2):
+        for gl in range(2):
+            g = pair * 2 + gl
+            scrC_ref[gl * 64:gl * 64 + 32] = scrX2_ref[g, :, lo:lo + L]
+            scrC_ref[gl * 64 + 32:gl * 64 + 64] = \
+                scrX1_ref[g, :, lo:lo + L]
+        acc = jax.lax.dot_general(
+            wc_ref[:], scrC_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (128, L)
+        acc = _leaky(acc * sc_ref[0][:, None] + bc_ref[0][:, None])
+        for gl in range(2):
+            x3[pair * 2 + gl] = acc[gl * 64:(gl + 1) * 64].astype(dt)
+
+    # ---- concat(y2, x3) + 2x2/s2 max pool = elementwise phase max -----
+    # (written as two channel-half stores: Mosaic cannot concatenate
+    # values whose tiles carry different internal lane offsets — the
+    # interior y2 slices sit at offset `lo` while x3 is offset 0)
+    y2 = [scrY2_ref[g, :, lo:lo + L] for g in range(4)]
+    out_ref[0, 0:64] = jnp.maximum(jnp.maximum(y2[0], y2[1]),
+                                   jnp.maximum(y2[2], y2[3]))
+    out_ref[0, 64:128] = jnp.maximum(jnp.maximum(x3[0], x3[1]),
+                                     jnp.maximum(x3[2], x3[3]))
+
+
+def detector_csp_flat(x: jnp.ndarray, variables,
+                      compute_dtype=jnp.bfloat16,
+                      consts=None) -> jnp.ndarray:
+    """(B, 104, 104, 64) stage-2 activations -> (B, 52, 52, 128): the
+    same ConvBN_2 + CSPBlock_0 + max_pool fusion as detector_csp_pallas
+    but with flat lane-aligned activations (backend "pallas3")."""
+    b, hh, _, cc = x.shape
+    assert cc == 64 and hh % 2 == 0
+    q = hh // 2
+    pitch = q + 2
+    P = pitch * pitch + pitch            # + one zero tail row (kernel)
+    L = q * pitch
+    dt = compute_dtype
+    if consts is None:
+        consts = prepare_csp_flat_constants(variables)
+    # host-XLA phase split + SAME pad + flatten: (B, 4, 64, P)
+    xp = x.astype(dt).transpose(0, 3, 1, 2)           # (B, 64, 2q, 2q)
+    planes = jnp.stack(
+        [xp[:, :, pi::2, pj::2] for pi in (0, 1) for pj in (0, 1)],
+        axis=1)                                       # (B, 4, 64, q, q)
+    planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1)))
+    planes = planes.reshape(b, 4, 64, pitch * pitch)
+    planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, pitch)))
+
+    mask = np.ones((1, L), np.float32)
+    mask[0, np.arange(L) % pitch >= q] = 0.0
+    mask = jnp.asarray(mask)
+
+    args = (mask,) + tuple(
+        jnp.asarray(consts[k], dt if k in ("w2", "wa", "wb", "wc")
+                    else jnp.float32)
+        for k in ("w2", "s2", "b2", "wa", "sa", "ba",
+                  "wb", "sb", "bb", "wc", "sc", "bc"))
+    interp = jax.default_backend() != "tpu"
+    kernel = functools.partial(_csp_flat_kernel, q=q, dt=dt)
+    out_sds = _out_sds((b, 128, L), dt, planes)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, 4, 64, P), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [_full_spec(a) for a in args],
+        out_specs=pl.BlockSpec((1, 128, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_sds,
+        scratch_shapes=[
+            pltpu.VMEM((1152, L), dt),           # shared i2c tap buffer
+            pltpu.VMEM((4, 64, P), dt),          # conv2 out (flat padded)
+            pltpu.VMEM((4, 32, P), dt),          # csp x1
+            pltpu.VMEM((4, 32, P), dt),          # csp x2
+            pltpu.VMEM((128, L), dt),            # 1x1 input (pairs)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interp,
+    )(planes, *args)
+    # (B, 128, L) -> drop the junk columns -> NHWC
+    out = out.reshape(b, 128, q, pitch)[:, :, :, :q]
+    return out.transpose(0, 2, 3, 1)                  # (B, q, q, 128)
+
+
 def detector_csp_pallas(x: jnp.ndarray, variables,
                         compute_dtype=jnp.bfloat16,
                         consts=None) -> jnp.ndarray:

@@ -78,7 +78,7 @@ def _detector_input(params, images: jnp.ndarray, cfg: GridVisionConfig):
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
              else jnp.float32)
     backend = cfg.detector_stem_backend
-    if backend in ("pallas", "pallas2"):
+    if backend in ("pallas", "pallas2", "pallas3"):
         try:
             from jax._src.interpreters.batching import BatchTracer
             batched = isinstance(images, BatchTracer)
@@ -94,9 +94,9 @@ def _detector_input(params, images: jnp.ndarray, cfg: GridVisionConfig):
             # vmap would hide the BatchTracer; the repo has no such
             # call site — vmap owners map the plain functions.)
             backend = "xla"
-    external = (backend in ("pallas", "pallas2", "im2col")
+    external = (backend in ("pallas", "pallas2", "pallas3", "im2col")
                 and cfg.detector_precision == "float")
-    front = external and backend == "pallas2"
+    front = external and backend in ("pallas2", "pallas3")
     ycfg = yolov4_tiny.YoloConfig(input_size=cfg.resize,
                                   compute_dtype=dtype,
                                   s2d_stem=cfg.detector_s2d_stem,
@@ -114,9 +114,14 @@ def _detector_input(params, images: jnp.ndarray, cfg: GridVisionConfig):
                 consts=params.get("detector_stem"))
             if front:
                 from .ops import pallas_csp
-                net_in = pallas_csp.detector_csp_pallas(
-                    net_in, params["detector"], dtype,
-                    consts=params.get("detector_csp"))
+                if backend == "pallas3":
+                    net_in = pallas_csp.detector_csp_flat(
+                        net_in, params["detector"], dtype,
+                        consts=params.get("detector_csp_flat"))
+                else:
+                    net_in = pallas_csp.detector_csp_pallas(
+                        net_in, params["detector"], dtype,
+                        consts=params.get("detector_csp"))
     else:
         net_in = jax.vmap(
             lambda im: preprocess.preprocess_detector_image(
@@ -573,7 +578,7 @@ class Engine:
             params["detector_q"] = yolov4_int8.quantize_detector(
                 params["detector"])
         if (cfg.detector_stem_backend in ("pallas", "pallas2",
-                                          "im2col")
+                                          "pallas3", "im2col")
                 and cfg.detector_precision == "float"
                 and "detector_stem" not in params):
             # fold the stem weights ONCE on the host (XLA does not
@@ -590,6 +595,13 @@ class Engine:
             params = dict(params)
             params["detector_csp"] = pallas_csp.prepare_csp_constants(
                 params["detector"])
+        if (cfg.detector_stem_backend == "pallas3"
+                and cfg.detector_precision == "float"
+                and "detector_csp_flat" not in params):
+            from .ops import pallas_csp
+            params = dict(params)
+            params["detector_csp_flat"] = \
+                pallas_csp.prepare_csp_flat_constants(params["detector"])
         # Pin to device: checkpoint.restore returns host numpy arrays, and
         # passing those into a jitted step re-uploads every weight on
         # EVERY dispatch (measured 3.5x whole-pipeline slowdown through

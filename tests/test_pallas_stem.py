@@ -67,6 +67,20 @@ def test_stem_kernel_matches_xla_chain_f32():
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
                                rtol=1e-4, atol=1e-4)
 
+    # the FLAT-layout CSP kernel ("pallas3") computes the same stage;
+    # additionally pin it elementwise to the pallas2 kernel's output
+    # (identical matmul shapes modulo packing, so near-bitwise in f32)
+    stage3_flat = pallas_csp.detector_csp_flat(stem, variables,
+                                               jnp.float32)
+    assert stage3_flat.shape == (2, 52, 52, 128)
+    np.testing.assert_allclose(np.asarray(stage3_flat),
+                               np.asarray(stage3), rtol=1e-5, atol=1e-5)
+    b_p, c_p = yolov4_tiny.forward(variables, stage3_flat, cfg_front)
+    np.testing.assert_allclose(np.asarray(b_p), np.asarray(b_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-4)
+
 
 def test_vmapped_detect_falls_back_to_xla_stem():
     """jax.vmap(detect) with a pallas stem backend must not lift the

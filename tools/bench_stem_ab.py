@@ -66,6 +66,9 @@ def main():
     if "detector_csp" not in params:
         params["detector_csp"] = jax.device_put(
             pallas_csp.prepare_csp_constants(params["detector"]))
+    if "detector_csp_flat" not in params:
+        params["detector_csp_flat"] = jax.device_put(
+            pallas_csp.prepare_csp_flat_constants(params["detector"]))
     eng.params = params
 
     keys = jax.random.split(jax.random.PRNGKey(0), args.rigs)
