@@ -168,13 +168,17 @@ def main():
         ap.add_argument("--chunk", type=int, default=8)
         ap.add_argument("--session", default=None,
                         help="publish for `view --session NAME`")
+        ap.add_argument("--grid-out", default=None, metavar="FILE.gvg",
+                        help="record the output occupancy stream "
+                             "(keyframe+delta codec, io/grid_codec.py)")
         ap.add_argument("--cpu", action="store_true")
         a = ap.parse_args(argv)
         if a.cpu:
             import jax
             jax.config.update("jax_platforms", "cpu")
         from .runtime.record import play
-        n, _state = play(a.path, chunk=a.chunk, session=a.session)
+        n, _state = play(a.path, chunk=a.chunk, session=a.session,
+                         grid_out=a.grid_out)
         print(f"played {n} frames from {a.path}")
     elif cmd == "demo":
         from .demo import main as demo_main

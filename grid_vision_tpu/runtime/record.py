@@ -137,10 +137,12 @@ def record_scene(path: str, cfg: GridVisionConfig, n_steps: int,
 
 
 def play(path: str, chunk: int = 8, session: Optional[str] = None,
-         on_step=None):
+         on_step=None, grid_out: Optional[str] = None):
     """Drive an engine from a recording (chunked scan ingest). Returns
     (n_frames, final GridState). session=NAME publishes grid/markers for
-    the live viewer, exactly like `run --publish`."""
+    the live viewer, exactly like `run --publish`. grid_out=FILE.gvg
+    records the output occupancy stream (io/grid_codec keyframe+delta
+    records — the output-side bag) alongside any viewer session."""
     import jax.numpy as jnp
 
     from ..demo import default_extrinsics
@@ -153,21 +155,30 @@ def play(path: str, chunk: int = 8, session: Optional[str] = None,
         if session is not None:
             from .session import SessionPublisher
             pub = SessionPublisher(session, r.cfg)
+        gw = None
+        if grid_out is not None:
+            from ..io.grid_codec import GridRecordWriter
+            gw = GridRecordWriter(grid_out)
         n = 0
-        if pub is None and on_step is None:
+        if pub is None and on_step is None and gw is None:
             while n < r.n_frames:
                 k = min(chunk, r.n_frames - n)
                 bufs = np.stack([r.read(n + j)[0] for j in range(k)])
                 state = eng.call_packed_chunk(state, jnp.asarray(bufs))
                 n += k
         else:
-            for buf, _stamp in r:
+            for buf, stamp in r:
                 state, out = eng.call_packed(state, jnp.asarray(buf))
                 if pub is not None:
                     pub.publish(n, out)
+                if gw is not None:
+                    gw.write(np.asarray(out.occupancy_i8, np.int8),
+                             step=n, stamp_ns=stamp)
                 if on_step is not None:
                     on_step(n, state, out)
                 n += 1
         if pub is not None:
             pub.close()
+        if gw is not None:
+            gw.close()
         return n, state

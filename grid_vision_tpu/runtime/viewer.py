@@ -10,7 +10,11 @@ cross-process session mailboxes (runtime/session.py):
   http       a ThreadingHTTPServer streaming multipart PNG (MJPEG-style)
              of the grid, the detection overlay, AND the 3D operator
              view (/view3d.mjpg — the RViz orbit camera, rendered by
-             io/viz3d.py) to any browser, plus /markers.json.
+             io/viz3d.py) to any browser, plus /markers.json, plus
+             /grid.gvd — the machine-consumer grid stream: keyframe +
+             sparse-delta records (io/grid_codec.py), ~100-500x below
+             the raw 100 kB/tick nav_msgs-style export on the wire.
+             Consume with runtime.viewer.gvd_client().
 
     python -m grid_vision_tpu view --session demo            # terminal
     python -m grid_vision_tpu view --session demo --mode 3d
@@ -290,6 +294,31 @@ def http_view(session: str, port: int, max_seconds: Optional[float] = None,
                         time.sleep(1.0 / fps)
                 finally:
                     sub.close()
+            elif self.path == "/grid.gvd":
+                # machine-consumer stream: length-prefixed codec records
+                from ..io import grid_codec
+
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "application/x-gvd-stream")
+                self.end_headers()
+                sub = SessionSubscriber(session)
+                enc = grid_codec.GridDeltaEncoder()
+                try:
+                    t_end = (None if max_seconds is None
+                             else time.perf_counter() + max_seconds)
+                    while t_end is None or time.perf_counter() < t_end:
+                        frame = sub.poll(wait_new=True)
+                        if frame is None:
+                            time.sleep(1.0 / (4 * fps))
+                            continue
+                        rec = enc.encode(frame.grid, step=frame.step,
+                                         stamp_ns=frame.stamp_ns)
+                        self.wfile.write(
+                            grid_codec._RECLEN.pack(len(rec)) + rec)
+                        self.wfile.flush()
+                finally:
+                    sub.close()
             elif self.path == "/markers.json":
                 sub = SessionSubscriber(session)
                 frame = self._frame(sub)
@@ -319,6 +348,7 @@ def http_view(session: str, port: int, max_seconds: Optional[float] = None,
         daemon_threads = True
 
     srv = Server(("127.0.0.1", port), Handler)
+    srv.gv_session = session  # introspection for tests
     print(f"viewing session {session!r} at http://127.0.0.1:{port}/",
           file=sys.stderr)
     if max_seconds is not None:
@@ -331,3 +361,40 @@ def http_view(session: str, port: int, max_seconds: Optional[float] = None,
     finally:
         srv.server_close()
     return srv
+
+
+def gvd_client(host: str, port: int, max_records: Optional[int] = None,
+               timeout: float = 10.0):
+    """Consume a /grid.gvd stream: yields (grid_i8, step, stamp_ns).
+
+    The remote-subscriber counterpart of the reference's nav_msgs
+    OccupancyGrid subscription — same decoded content, delivered as
+    keyframe + sparse-delta records (io/grid_codec.py) so a 10 Hz
+    consumer costs ~kB/s instead of ~MB/s of wire."""
+    import http.client
+
+    from ..io import grid_codec
+
+    conn = http.client.HTTPConnection(host, port, timeout=timeout)
+    conn.request("GET", "/grid.gvd")
+    resp = conn.getresponse()
+    if resp.status != 200:
+        conn.close()
+        raise ConnectionError(f"/grid.gvd -> HTTP {resp.status}")
+    dec = grid_codec.GridDeltaDecoder()
+    n = 0
+    try:
+        while max_records is None or n < max_records:
+            raw = resp.read(grid_codec._RECLEN.size)
+            if len(raw) < grid_codec._RECLEN.size:
+                return
+            (rlen,) = grid_codec._RECLEN.unpack(raw)
+            rec = resp.read(rlen)
+            if len(rec) < rlen:
+                return
+            out = dec.decode(rec)
+            if out is not None:
+                yield out
+                n += 1
+    finally:
+        conn.close()

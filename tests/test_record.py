@@ -55,3 +55,26 @@ def test_writer_rejects_wrong_size(tmp_path):
     with RecordWriter(str(tmp_path / "x.gvr"), cfg) as w:
         with pytest.raises(ValueError):
             w.write(np.zeros(13, np.uint8))
+
+
+def test_play_grid_out_records_output_stream(tmp_path):
+    """play(grid_out=...) persists the exact per-step occupancy stream
+    (the .gvg output bag; io/grid_codec.py)."""
+    from grid_vision_tpu.io.grid_codec import GridRecordReader
+
+    cfg = small_cfg()
+    path = str(tmp_path / "drive.gvr")
+    record_scene(path, cfg, n_steps=4, hz=10.0, seed=4)
+
+    want = []
+    play(path, on_step=lambda i, s, out: want.append(
+        np.asarray(out.occupancy_i8, np.int8)))
+
+    gvg = str(tmp_path / "drive.gvg")
+    n, _ = play(path, grid_out=gvg)
+    assert n == 4
+    got = list(GridRecordReader(gvg))
+    assert len(got) == 4
+    for i, (g, step, _stamp) in enumerate(got):
+        assert step == i
+        np.testing.assert_array_equal(g, want[i])
