@@ -68,13 +68,17 @@ def synth_obs(rng, cfg: GridVisionConfig) -> Obs:
 
 
 def build_obs_pool(cfg: GridVisionConfig, n_rigs: int,
-                   image_dtype=None) -> Obs:
+                   image_dtype=None, planar: bool = False) -> Obs:
     """Batched Obs (leading axis n_rigs) of host-rendered traffic scenes,
     one per rig, device_put once (outside the timed region).
 
     image_dtype: storage dtype for the image pool (bf16 in fast mode —
     camera pixels are 8-bit to begin with, and bf16 storage halves the
-    HBM traffic of every consumer, measured ~20 us/frame)."""
+    HBM traffic of every consumer, measured ~20 us/frame).
+    planar: store frames channel-first (R, 3, H, W) — the layout the
+    Pallas detector stem consumes natively, so the step pays no
+    HWC->planar transpose copy (the crop einsums take either layout —
+    ops/preprocess.crop_resize)."""
     import numpy as np
 
     from grid_vision_tpu.io.scene import SyntheticScene
@@ -94,9 +98,11 @@ def build_obs_pool(cfg: GridVisionConfig, n_rigs: int,
         images.append(scene.image_at(t))
         clouds.append(PointCloud.from_numpy(scene.cloud_at(t), None,
                                             cfg.max_points))
+    img_np = np.stack(images)
+    if planar:
+        img_np = img_np.transpose(0, 3, 1, 2)
     pool = Obs(
-        image=jnp.asarray(np.stack(images),
-                          dtype=image_dtype or jnp.float32),
+        image=jnp.asarray(img_np, dtype=image_dtype or jnp.float32),
         cloud=PointCloud(
             xyz=jnp.asarray(np.stack([np.asarray(c.xyz) for c in clouds])),
             intensity=jnp.asarray(

@@ -364,16 +364,23 @@ def detector_stem_pallas(images: jnp.ndarray, variables, size: int,
 
     `variables` is the detector's flax tree (params + batch_stats);
     `consts` is the prepare_stem_constants fold (precomputed at Engine
-    init; derived in-graph from `variables` when absent)."""
-    b, h, w, _ = images.shape
+    init; derived in-graph from `variables` when absent).
+
+    `images` may be (B, H, W, 3) or channel-first planar (B, 3, H, W).
+    HWC frames pay one XLA transpose outside the kernel (fuses into the
+    producer); a PLANAR pool (the fleet fast path) skips that copy —
+    inside the kernel, channel planes are natural 2D tiles either way."""
     dt = compute_dtype
     if consts is None:
         consts = prepare_stem_constants(variables)
+    if images.shape[-1] == 3:                         # (B, H, W, 3)
+        b, h, w, _ = images.shape
+        img_p = images.astype(dt).transpose(0, 3, 1, 2)
+    else:                                             # (B, 3, H, W)
+        b, _, h, w = images.shape
+        img_p = images.astype(dt)
     wx4 = _phase4_resize_weights(w, size, scale=1.0 / 255.0)
     wy4 = _phase4_resize_weights(h, size)
-    # planar (B, 3, H, W): one XLA transpose outside the kernel (fuses
-    # into the producer); inside, channel planes are natural 2D tiles.
-    img_p = images.astype(dt).transpose(0, 3, 1, 2)
 
     args = (tuple(jnp.asarray(m, dt) for m in wx4)
             + tuple(jnp.asarray(m, dt) for m in wy4)

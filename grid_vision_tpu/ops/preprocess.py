@@ -151,8 +151,18 @@ def crop_resize(image: jnp.ndarray, boxes: Boxes, out_size: int,
     actually feed the net — the per-crop mean/var reduce + normalize is
     O(area) VPU work and was the single largest item in the 128-rig
     device profile (tools/profile_step.py; standardization is per-crop
-    elementwise, so compacting first is bit-identical on kept crops)."""
-    h, w, _ = image.shape
+    elementwise, so compacting first is bit-identical on kept crops).
+
+    Accepts the image as (H, W, 3) or channel-first PLANAR (3, H, W)
+    (the fleet fast-path pool layout — the Pallas detector stem wants
+    planar frames, and keeping the pool planar kills a per-step
+    full-image transpose copy); either layout yields identical
+    (D, out, out, 3) crops — only the einsum operand order differs."""
+    planar = image.shape[-1] != 3
+    if planar:
+        _, h, w = image.shape
+    else:
+        h, w, _ = image.shape
     wy, wx = jax.vmap(
         lambda b: _box_weights(b, h, w, out_size))(boxes.xyxy)
     # wy (D, out, H), wx (D, out, W)
@@ -165,10 +175,18 @@ def crop_resize(image: jnp.ndarray, boxes: Boxes, out_size: int,
     # stage-2 then sums over out_size instead of W — 25% fewer FLOPs and
     # a 25% smaller intermediate than the y-first order at 480x640
     # (same math, summation reordered).
-    tmp = jnp.einsum("djx,yxc->dyjc", wx, img,
-                     preferred_element_type=jnp.float32)
-    crops = jnp.einsum("diy,dyjc->dijc", wy, tmp.astype(compute_dtype),
-                       preferred_element_type=jnp.float32)
+    if planar:
+        tmp = jnp.einsum("djx,cyx->dcyj", wx, img,
+                         preferred_element_type=jnp.float32)
+        crops = jnp.einsum("diy,dcyj->dijc", wy,
+                           tmp.astype(compute_dtype),
+                           preferred_element_type=jnp.float32)
+    else:
+        tmp = jnp.einsum("djx,yxc->dyjc", wx, img,
+                         preferred_element_type=jnp.float32)
+        crops = jnp.einsum("diy,dyjc->dijc", wy,
+                           tmp.astype(compute_dtype),
+                           preferred_element_type=jnp.float32)
     return crops.astype(out_dtype) if out_dtype is not None else crops
 
 
@@ -185,19 +203,39 @@ def _standardize(crops: jnp.ndarray, valid: jnp.ndarray,
     Pixels are bounded by 255, so the f32 cancellation error on the
     variance is <~4e-3 against a clamp floor of 1e-12 — immaterial next
     to the bf16 rounding the crops already carry. The f32 path keeps
-    the reference-exact two-pass form."""
+    the reference-exact two-pass form.
+
+    The reduced-precision NORMALIZE runs in the crop dtype (stats stay
+    f32): subtract/multiply in f32 made XLA materialize the full f32
+    normalized tensor and then relayout-convert it into the net's bf16
+    conv input (copy.794 in the round-3 device profile, 7.2 us/frame at
+    the 64-rig shapes). mean/inv quantize to bf16 with the same ~0.4%
+    relative error the crops already carry, so the net input error is
+    unchanged in order; the f32 branch is untouched."""
     if crops.dtype == jnp.float32:
         x = crops
         mean = jnp.mean(x, axis=(1, 2), keepdims=True)
         var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
-    else:
-        x = crops
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True,
-                        dtype=jnp.float32)
-        ex2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
-                       keepdims=True)
-        var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
-    out = ((crops.astype(jnp.float32) - mean)
-           / jnp.maximum(jnp.sqrt(var), 1e-6))
-    out = jnp.where(valid[:, None, None, None], out, 0.0)
+        out = (x - mean) / jnp.maximum(jnp.sqrt(var), 1e-6)
+        out = jnp.where(valid[:, None, None, None], out, 0.0)
+        return out.astype(out_dtype) if out_dtype is not None else out
+    x = crops
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    ex2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
+                   keepdims=True)
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+    inv = 1.0 / jnp.maximum(jnp.sqrt(var), 1e-6)
+    if _NORM_IN_F32:   # A/B reference variant (tools/bench_std_ab.py)
+        out = (crops.astype(jnp.float32) - mean) * inv
+        out = jnp.where(valid[:, None, None, None], out, 0.0)
+        return out.astype(out_dtype) if out_dtype is not None else out
+    out = ((x - mean.astype(x.dtype)) * inv.astype(x.dtype))
+    out = jnp.where(valid[:, None, None, None], out,
+                    jnp.zeros((), x.dtype))
     return out.astype(out_dtype) if out_dtype is not None else out
+
+
+# Trace-time A/B toggle for the reduced-precision normalize above: True
+# restores the f32-arithmetic variant. Flipped between jit traces by
+# tools/bench_std_ab.py only; not a supported configuration knob.
+_NORM_IN_F32 = False

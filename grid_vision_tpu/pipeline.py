@@ -74,9 +74,14 @@ def _detector_input(params, images: jnp.ndarray, cfg: GridVisionConfig):
     (ops/pallas_stem.py) with stem_external=True; otherwise the resized
     frames run the full net. The folded stem constants ride in
     params["detector_stem"] when the Engine prepared them (falling back
-    to an in-graph fold for direct callers)."""
+    to an in-graph fold for direct callers).
+
+    Accepts channel-first PLANAR frames (R, 3, H, W) as well as HWC —
+    the fleet fast-path pool layout (the Pallas stem consumes planar
+    natively; every other backend transposes back to HWC here)."""
     dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
              else jnp.float32)
+    planar = images.ndim == 4 and images.shape[-1] != 3
     backend = cfg.detector_stem_backend
     if backend in ("pallas", "pallas2", "pallas3"):
         try:
@@ -97,6 +102,10 @@ def _detector_input(params, images: jnp.ndarray, cfg: GridVisionConfig):
     external = (backend in ("pallas", "pallas2", "pallas3", "im2col")
                 and cfg.detector_precision == "float")
     front = external and backend in ("pallas2", "pallas3")
+    if planar and not (external and backend != "im2col"):
+        # only detector_stem_pallas consumes planar natively; the XLA
+        # resize path and the im2col variant take HWC
+        images = jnp.transpose(images, (0, 2, 3, 1))
     ycfg = yolov4_tiny.YoloConfig(input_size=cfg.resize,
                                   compute_dtype=dtype,
                                   s2d_stem=cfg.detector_s2d_stem,

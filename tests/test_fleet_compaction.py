@@ -138,3 +138,32 @@ def test_pca_mode_falls_back_to_vmap(setup):
         eng.extrinsics)
     np.testing.assert_array_equal(np.asarray(got[0].log_odds),
                                   np.asarray(ref[0].log_odds))
+
+
+def test_planar_pool_matches_hwc(setup):
+    """A channel-first (R, 3, H, W) image pool — the fleet fast-path
+    layout that feeds the Pallas stem without a transpose copy — must
+    produce the same fleet_step results as the HWC pool (the crop
+    einsums and the detector input path accept either layout)."""
+    from grid_vision_tpu.types import Obs
+
+    cfg, eng, obs, _, _ = setup
+    budget = 2 * N_RIGS
+    _, ref_out = _fleet(cfg, eng, obs, budget)
+    obs_p = Obs(image=jnp.transpose(obs.image, (0, 3, 1, 2)),
+                cloud=obs.cloud, has_image=obs.has_image,
+                has_cloud=obs.has_cloud)
+    _, out = _fleet(cfg, eng, obs_p, budget)
+    np.testing.assert_array_equal(np.asarray(out.boxes.valid),
+                                  np.asarray(ref_out.boxes.valid))
+    np.testing.assert_allclose(np.asarray(out.boxes.xyxy),
+                               np.asarray(ref_out.boxes.xyxy),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out.poses.valid),
+                                  np.asarray(ref_out.poses.valid))
+    pv = np.asarray(ref_out.poses.valid)
+    np.testing.assert_allclose(np.asarray(out.poses.position)[pv],
+                               np.asarray(ref_out.poses.position)[pv],
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.occupancy_i8),
+                               np.asarray(ref_out.occupancy_i8))

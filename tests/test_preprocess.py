@@ -132,3 +132,20 @@ def test_pipeline_pallas_backend_matches_xla():
     sp, _ = fuse_p(eng.params, s0, obs, boxes, eng.extrinsics)
     np.testing.assert_array_equal(np.asarray(sx.log_odds),
                                   np.asarray(sp.log_odds))
+
+
+def test_crop_resize_planar_matches_hwc():
+    """The channel-first (3, H, W) fleet pool layout must produce the
+    SAME crops as the HWC path — only the einsum operand order differs
+    (ops/preprocess.crop_resize planar branch)."""
+    from grid_vision_tpu.ops.preprocess import crop_resize
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 255, (48, 64, 3)).astype(np.float32)
+    boxes = make_boxes([(4.0, 6.0, 40.0, 30.0), (0.0, 0.0, 63.0, 47.0),
+                        (10.5, 3.2, 22.9, 44.1)])
+    hwc = crop_resize(jnp.asarray(img), boxes, 16)
+    planar = crop_resize(jnp.asarray(img.transpose(2, 0, 1)), boxes, 16)
+    assert planar.shape == hwc.shape
+    np.testing.assert_allclose(np.asarray(planar), np.asarray(hwc),
+                               atol=1e-5, rtol=1e-5)
