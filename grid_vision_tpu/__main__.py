@@ -5,7 +5,8 @@ to a parameter YAML (launch/grid_vision.launch.xml). The equivalents:
 
   run     stream a synthetic sequence through the engine with a config
           YAML (the reference YAML works as-is); --publish NAME exposes
-          the session to viewers
+          the session to viewers; --track adds the multi-object tracker
+          (stable ids + velocities, shipped-weight detections)
   view    attach to a running session and watch the grid + markers live
           (terminal ANSI render, or --http PORT for a browser stream) —
           the RViz replacement
@@ -52,6 +53,10 @@ def _run(argv):
                     help="log per-stage latencies each tick (the "
                          "reference's detection/orientation timers; "
                          "3-dispatch observability mode)")
+    ap.add_argument("--track", action="store_true",
+                    help="run the multi-object tracker (ops/tracking.py "
+                         "extension): stable ids + base-frame velocity, "
+                         "logged per tick and published as track markers")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
@@ -67,6 +72,21 @@ def _run(argv):
     import logging
     logging.basicConfig(level=logging.INFO)
     cfg = (load_config(args.config) if args.config else GridVisionConfig())
+    if args.track:
+        # tracking needs real detections; default to the shipped
+        # checkpoints when the config names none (same convention as
+        # eval-pose --det net)
+        import dataclasses
+        import os
+        w = {}
+        if not cfg.detection_weights_file and os.path.exists(
+                "weights/detector.npz"):
+            w["detection_weights_file"] = "weights/detector.npz"
+        if (cfg.use_vision_orientation and not cfg.vision_weights_file
+                and os.path.exists("weights/orientation.npz")):
+            w["vision_weights_file"] = "weights/orientation.npz"
+        if w:
+            cfg = dataclasses.replace(cfg, **w)
     eng = Engine(cfg, extrinsics=default_extrinsics())
     scene = SyntheticScene(cfg, seed=0)
     scene.add_default_traffic()
@@ -82,6 +102,36 @@ def _run(argv):
         logger.info("publishing session %r (attach with: python -m "
                     "grid_vision_tpu view --session %s)",
                     args.publish, args.publish)
+    if args.track:
+        from .io.viz import track_markers
+        from .ops.tracking import TrackConfig
+        from .runtime.stream import obs_from_scene
+        import time as _time
+        tcfg = TrackConfig()
+        state, tracks = eng.init_state(), eng.init_tracks(tcfg)
+        dt = 1.0 / args.hz
+        t0 = _time.perf_counter()
+        for i in range(args.steps):
+            obs = obs_from_scene(scene, i * dt, cfg)
+            state, tracks, out, tstats = eng.call_tracked(
+                state, tracks, obs, dt=dt, tcfg=tcfg)
+            tm = track_markers(tracks, tcfg)
+            cubes = [m for m in tm if m["ns"] == "track"]
+            logger.info(
+                "step %d: %d confirmed tracks  %s", i, len(cubes),
+                "  ".join(f"{m['label']} v={m['speed_mps']:.1f}m/s"
+                          if m["speed_mps"] is not None else m["label"]
+                          for m in cubes))
+            if pub is not None:
+                pub.publish(i, out, image=scene.image_at(i * dt),
+                            extra_markers=tm)
+            if args.realtime:
+                sleep = (i + 1) * dt - (_time.perf_counter() - t0)
+                if sleep > 0:
+                    _time.sleep(sleep)
+        if pub is not None:
+            pub.close()
+        return
     if args.timings:
         from .runtime.stream import obs_from_scene
         from .runtime.timing import TimedEngine

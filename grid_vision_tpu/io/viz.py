@@ -113,6 +113,52 @@ def markers_from_output(out: StepOutput) -> List[dict]:
     return markers
 
 
+def track_markers(tracks, tcfg) -> List[dict]:
+    """Marker dicts for confirmed tracks (ops/tracking.py extension —
+    no reference counterpart; the reference's markers are anonymous and
+    regenerated every tick, grid_vision_node.cpp:405-523).
+
+    Each confirmed track renders as a green wire cube named "track/<id>"
+    plus a velocity arrow (base frame) when 3D state is live. Marker ids
+    are the STABLE track ids, so a viewer can correlate across frames.
+    """
+    out: List[dict] = []
+    conf = np.asarray(tracks.confirmed(tcfg))
+    pos = np.asarray(tracks.position)
+    vel = np.asarray(tracks.velocity)
+    hasp = np.asarray(tracks.has_pose)
+    ids = np.asarray(tracks.id)
+    labels = np.asarray(tracks.label)
+    dims = np.stack([np.asarray(tracks.length), np.asarray(tracks.width),
+                     np.asarray(tracks.height)], -1)
+    quat = np.asarray(tracks.quat)
+    for i in range(conf.shape[0]):
+        if not conf[i]:
+            continue
+        tid = int(ids[i])
+        out.append({
+            "ns": "track", "id": tid, "type": "cube",
+            "position": pos[i].tolist(), "orientation": quat[i].tolist(),
+            "scale": [max(float(d), 0.2) for d in dims[i]],
+            "color": (0.1, 0.9, 0.2), "lifetime_s": 0.2,
+            "label": f"#{tid} {class_name(int(labels[i]))}",
+            "track_id": tid,
+            "velocity": vel[i].tolist() if hasp[i] else None,
+            "speed_mps": float(np.linalg.norm(vel[i][:2]))
+            if hasp[i] else None,
+        })
+        if hasp[i] and np.linalg.norm(vel[i][:2]) > 0.05:
+            out.append({
+                "ns": "track_velocity", "id": tid, "type": "arrow",
+                "position": pos[i].tolist(),
+                "direction": vel[i].tolist(),
+                "scale": [float(np.linalg.norm(vel[i])), 0.1, 0.1],
+                "color": (1.0, 0.6, 0.0), "lifetime_s": 0.2,
+                "track_id": tid,
+            })
+    return out
+
+
 def write_ppm(path: str, image: np.ndarray) -> None:
     img = np.clip(np.asarray(image), 0, 255).astype(np.uint8)
     h, w = img.shape[:2]

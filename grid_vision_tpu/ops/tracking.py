@@ -1,0 +1,348 @@
+"""Multi-object tracking: persistent object identity + velocity.
+
+The reference has NO temporal object state: every tick it republishes
+anonymous markers with 0.1-0.2 s lifetimes (publishObjectVisualizations,
+/root/reference/src/grid_vision_node.cpp:405-523) and identity exists
+only as RViz afterglow. Any consumer that needs "the same car as last
+frame" (prediction, planning, counting) must re-derive it. This module
+adds that capability as a pure-additive extension: nothing in the
+reference-parity outputs (boxes / poses / grid) changes — the tracker
+consumes a finished StepOutput and maintains its own state.
+
+Design (TPU-first, everything inside the jit):
+  - TrackState is a fixed-capacity masked slot table (the same padded-
+    pytree discipline as every other jit-crossing type, types.py).
+  - Association is greedy best-IoU matching between velocity-predicted
+    track boxes and the frame's detections (SORT-style; Hungarian's
+    optimality matters at IoU ties we don't care about). The greedy
+    argmax loop is a lax.fori_loop over a (T, D) score matrix — tiny
+    next to the conv workload.
+  - 3D state (base-frame position + velocity) comes from the step's own
+    pose estimates: dynamic boxes from LShapePoses, static boxes from
+    the kNN-depth static_points. Velocity is an EMA of frame-to-frame
+    position deltas; unmatched tracks coast on it.
+  - Track ids are monotonically assigned from a carried counter; slot
+    reuse is deterministic (free slots fill lowest-index-first with
+    unmatched detections in confidence order), so results are
+    reproducible and scan/vmap-safe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GridVisionConfig
+from ..taxonomy import is_dynamic
+from ..types import StepOutput, pytree_dataclass
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackConfig:
+    """Static tracker configuration (hashable; closed over by the jit).
+
+    capacity: track slot count T (padded table size).
+    iou_min: minimum predicted-box IoU to accept a match.
+    class_gated: require label equality for a match (a car detection
+      never extends a person track).
+    max_misses: consecutive unmatched frames before a track is killed
+      (it coasts on its velocity until then).
+    min_hits: matches needed before a track counts as confirmed
+      (suppresses one-frame false positives in confirmed()).
+    spawn_confidence: minimum detection confidence to open a new track.
+    vel_alpha / box_vel_alpha: EMA weights for the 3D and pixel-space
+      velocity estimates (1.0 = always take the newest frame delta).
+    """
+
+    capacity: int = 32
+    iou_min: float = 0.3
+    class_gated: bool = True
+    max_misses: int = 5
+    min_hits: int = 2
+    spawn_confidence: float = 0.0
+    vel_alpha: float = 0.4
+    box_vel_alpha: float = 0.5
+
+
+@pytree_dataclass
+class TrackState:
+    """Padded track table (slot-indexed; `id` is the stable identity).
+
+    xyxy: (T, 4) last matched/coasted box, pixel space.
+    vel_px: (T, 4) d(xyxy)/dt EMA — predicts the next box for matching.
+    position: (T, 3) base-frame position (pose/static-point source).
+    velocity: (T, 3) base-frame m/s EMA.
+    quat/length/width/height: (T, ...) last matched 3D box attributes.
+    label: (T,) int32; confidence: (T,) last matched confidence.
+    id: (T,) int32 stable track id (monotonic, never reused).
+    hits / misses / age: (T,) int32 match count, consecutive miss count,
+      steps since spawn.
+    valid: (T,) bool live-slot mask; has_pose: (T,) bool whether
+      position/velocity carry live 3D state.
+    next_id: () int32 id counter.
+    """
+
+    xyxy: jnp.ndarray
+    vel_px: jnp.ndarray
+    position: jnp.ndarray
+    velocity: jnp.ndarray
+    quat: jnp.ndarray
+    length: jnp.ndarray
+    width: jnp.ndarray
+    height: jnp.ndarray
+    label: jnp.ndarray
+    confidence: jnp.ndarray
+    id: jnp.ndarray
+    hits: jnp.ndarray
+    misses: jnp.ndarray
+    age: jnp.ndarray
+    valid: jnp.ndarray
+    has_pose: jnp.ndarray
+    next_id: jnp.ndarray
+
+    @staticmethod
+    def create(tcfg: TrackConfig) -> "TrackState":
+        t = tcfg.capacity
+        z = lambda *s: jnp.zeros(s, jnp.float32)
+        zi = lambda *s: jnp.zeros(s, jnp.int32)
+        return TrackState(
+            xyxy=z(t, 4), vel_px=z(t, 4), position=z(t, 3),
+            velocity=z(t, 3),
+            quat=jnp.zeros((t, 4), jnp.float32).at[:, 3].set(1.0),
+            length=z(t), width=z(t), height=z(t),
+            label=jnp.full((t,), 10, jnp.int32), confidence=z(t),
+            id=jnp.full((t,), -1, jnp.int32),
+            hits=zi(t), misses=zi(t), age=zi(t),
+            valid=jnp.zeros((t,), bool), has_pose=jnp.zeros((t,), bool),
+            next_id=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.xyxy.shape[-2]
+
+    def confirmed(self, tcfg: TrackConfig) -> jnp.ndarray:
+        """(T,) bool: live tracks with enough history to trust."""
+        return self.valid & (self.hits >= tcfg.min_hits)
+
+
+@pytree_dataclass
+class TrackStats:
+    """Per-step tracker telemetry, () int32 each (the tracking sibling
+    of types.SaturationStats)."""
+
+    matched: jnp.ndarray
+    spawned: jnp.ndarray
+    killed: jnp.ndarray
+    spawn_dropped: jnp.ndarray  # unmatched detections lost to a full table
+
+
+def cross_iou(a_xyxy: jnp.ndarray, b_xyxy: jnp.ndarray) -> jnp.ndarray:
+    """(T, 4) x (D, 4) -> (T, D) IoU (same denominator convention as
+    ops.nms.pairwise_iou / computeIoU_Eigen,
+    /root/reference/src/object_detection.cpp:148-164)."""
+    x1 = jnp.maximum(a_xyxy[:, None, 0], b_xyxy[None, :, 0])
+    y1 = jnp.maximum(a_xyxy[:, None, 1], b_xyxy[None, :, 1])
+    x2 = jnp.minimum(a_xyxy[:, None, 2], b_xyxy[None, :, 2])
+    y2 = jnp.minimum(a_xyxy[:, None, 3], b_xyxy[None, :, 3])
+    inter = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    area_a = (a_xyxy[:, 2] - a_xyxy[:, 0]) * (a_xyxy[:, 3] - a_xyxy[:, 1])
+    area_b = (b_xyxy[:, 2] - b_xyxy[:, 0]) * (b_xyxy[:, 3] - b_xyxy[:, 1])
+    denom = area_a[:, None] + area_b[None, :] - inter
+    return jnp.where(denom > 0, inter / jnp.where(denom == 0, 1.0, denom),
+                     0.0)
+
+
+def greedy_match(score: jnp.ndarray):
+    """Greedy one-to-one assignment on a (T, D) score matrix.
+
+    Repeatedly takes the global argmax among still-unmatched pairs with
+    score > 0 (ineligible pairs must be pre-masked to <= 0). Returns
+    (tmatch (T,) int32 det index or -1, dmatch (D,) int32 track index or
+    -1). min(T, D) iterations of an argmax over T*D lanes — O(T*D*K)
+    VPU work on a 32x64 matrix is negligible.
+    """
+    t, d = score.shape
+    rows = jnp.arange(t, dtype=jnp.int32)
+    cols = jnp.arange(d, dtype=jnp.int32)
+
+    def body(_, carry):
+        s, tm, dm = carry
+        flat = jnp.argmax(s).astype(jnp.int32)
+        i, j = flat // d, flat % d
+        ok = s.reshape(-1)[flat] > 0.0
+        tm = tm.at[i].set(jnp.where(ok, j, tm[i]))
+        dm = dm.at[j].set(jnp.where(ok, i, dm[j]))
+        dead = (rows[:, None] == i) | (cols[None, :] == j)
+        s = jnp.where(ok & dead, -1.0, s)
+        return s, tm, dm
+
+    _, tmatch, dmatch = jax.lax.fori_loop(
+        0, min(t, d), body,
+        (score, jnp.full((t,), -1, jnp.int32),
+         jnp.full((d,), -1, jnp.int32)))
+    return tmatch, dmatch
+
+
+def per_box_pose(out: StepOutput, cfg: GridVisionConfig):
+    """Align the step's 3D estimates to detection-box slots.
+
+    Returns (position (D, 3), quat (D, 4), dims (D, 3) lwh,
+    has_pose (D,)) in base frame, one row per box slot of out.boxes:
+      - static boxes take static_points (kNN median depth back-
+        projection; markers-only in the reference, quirk Q6);
+      - dynamic boxes take out.poses. In vision mode the poses are the
+        compacted dynamic batch (pipeline._compact_dynamic order —
+        deterministic in the boxes, so it can be recomputed here and
+        scattered back); in PCA mode poses are already box-aligned.
+    """
+    boxes = out.boxes
+    d = boxes.capacity
+    poses = out.poses
+    if poses.capacity == d:
+        # PCA path: pose slot i corresponds to box slot i.
+        pos, quat = poses.position, poses.quat
+        dims = jnp.stack([poses.length, poses.width, poses.height], -1)
+        hasp = poses.valid
+    else:
+        # Vision path: scatter the compacted batch back to box slots
+        # using the same deterministic order _compact_dynamic used.
+        dyn = boxes.valid & is_dynamic(boxes.label)
+        order = jnp.argsort(~dyn).astype(jnp.int32)[:poses.capacity]
+        pos = jnp.zeros((d, 3), jnp.float32).at[order].set(poses.position)
+        quat = (jnp.zeros((d, 4), jnp.float32).at[:, 3].set(1.0)
+                .at[order].set(poses.quat))
+        dims = jnp.zeros((d, 3), jnp.float32).at[order].set(
+            jnp.stack([poses.length, poses.width, poses.height], -1))
+        hasp = jnp.zeros((d,), bool).at[order].set(poses.valid)
+    static = out.static_boxes.valid
+    pos = jnp.where(static[:, None], out.static_points, pos)
+    quat = jnp.where(static[:, None],
+                     jnp.zeros((d, 4), jnp.float32).at[:, 3].set(1.0), quat)
+    dims = jnp.where(static[:, None], 0.0, dims)
+    hasp = jnp.where(static, True, hasp)
+    return pos, quat, dims, hasp
+
+
+def update_tracks(tracks: TrackState, out: StepOutput, dt,
+                  cfg: GridVisionConfig, tcfg: TrackConfig):
+    """One tracker tick: predict -> match -> update/coast/kill -> spawn.
+
+    Pure function of (tracks, out, dt); returns (TrackState, TrackStats).
+    dt may be a traced scalar (variable frame spacing) or a python
+    float. Safe under vmap (per-rig fleets) and lax.scan (chunked
+    replay).
+    """
+    dt = jnp.asarray(dt, jnp.float32)
+    inv_dt = 1.0 / jnp.maximum(dt, 1e-6)
+    boxes = out.boxes
+    t_cap, d_cap = tracks.capacity, boxes.capacity
+
+    det_pos, det_quat, det_dims, det_hasp = per_box_pose(out, cfg)
+
+    # --- predict + match -------------------------------------------------
+    pred_xyxy = tracks.xyxy + tracks.vel_px * dt
+    iou = cross_iou(pred_xyxy, boxes.xyxy)
+    gate = tracks.valid[:, None] & boxes.valid[None, :]
+    if tcfg.class_gated:
+        gate &= tracks.label[:, None] == boxes.label[None, :]
+    gate &= iou >= tcfg.iou_min
+    # iou_min may be 0; bias scores positive so gated pairs are > 0.
+    tmatch, dmatch = greedy_match(jnp.where(gate, iou + 1e-6, -1.0))
+    matched = tmatch >= 0
+    j = jnp.clip(tmatch, 0, d_cap - 1)          # det index per track slot
+
+    # --- matched tracks: measurement update -------------------------------
+    new_box = boxes.xyxy[j]
+    vel_obs = (new_box - tracks.xyxy) * inv_dt
+    # first re-observation (hits == 1): take the raw delta, no EMA warmup
+    a_box = jnp.where(tracks.hits <= 1, 1.0, tcfg.box_vel_alpha)[:, None]
+    vel_px_m = (1.0 - a_box) * tracks.vel_px + a_box * vel_obs
+    d_hasp = det_hasp[j]
+    v3_obs = (det_pos[j] - tracks.position) * inv_dt
+    can_v3 = tracks.has_pose & d_hasp
+    first_v3 = can_v3 & (jnp.sum(jnp.abs(tracks.velocity), -1) == 0.0)
+    a_v3 = jnp.where(first_v3, 1.0, tcfg.vel_alpha)[:, None]
+    vel3_m = jnp.where(can_v3[:, None],
+                       (1.0 - a_v3) * tracks.velocity + a_v3 * v3_obs,
+                       tracks.velocity)
+    pos_m = jnp.where(d_hasp[:, None], det_pos[j], tracks.position)
+    hasp_m = tracks.has_pose | d_hasp
+
+    # --- unmatched tracks: coast, then kill --------------------------------
+    coast = tracks.valid & ~matched
+    killed = coast & (tracks.misses + 1 > tcfg.max_misses)
+    alive = (tracks.valid & ~killed)
+
+    def pick(m, on_match, on_coast):
+        m = m.reshape((-1,) + (1,) * (on_match.ndim - 1))
+        return jnp.where(m, on_match, on_coast)
+
+    upd = TrackState(
+        xyxy=pick(matched, new_box, pred_xyxy),
+        vel_px=pick(matched, vel_px_m, tracks.vel_px),
+        position=pick(matched, pos_m,
+                      tracks.position + tracks.velocity * dt),
+        velocity=pick(matched, vel3_m, tracks.velocity),
+        quat=pick(matched & d_hasp, det_quat[j], tracks.quat),
+        length=pick(matched & d_hasp, det_dims[j, 0], tracks.length),
+        width=pick(matched & d_hasp, det_dims[j, 1], tracks.width),
+        height=pick(matched & d_hasp, det_dims[j, 2], tracks.height),
+        label=tracks.label,
+        confidence=pick(matched, boxes.confidence[j], tracks.confidence),
+        id=tracks.id,
+        hits=tracks.hits + matched.astype(jnp.int32),
+        misses=jnp.where(matched, 0, tracks.misses
+                         + coast.astype(jnp.int32)),
+        age=tracks.age + tracks.valid.astype(jnp.int32),
+        valid=alive,
+        has_pose=pick(matched, hasp_m, tracks.has_pose),
+        next_id=tracks.next_id,
+    )
+
+    # --- spawn unmatched detections into free slots ------------------------
+    free = ~alive                                        # (T,)
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1   # rank among free
+    n_free = jnp.sum(free.astype(jnp.int32))
+    spawnable = (boxes.valid & (dmatch < 0)
+                 & (boxes.confidence >= tcfg.spawn_confidence))
+    n_spawnable = jnp.sum(spawnable.astype(jnp.int32))
+    sp_key = jnp.where(spawnable, -boxes.confidence, jnp.inf)
+    det_order = jnp.argsort(sp_key).astype(jnp.int32)    # conf desc, stable
+    src = det_order[jnp.clip(free_rank, 0, d_cap - 1)]   # det idx per slot
+    do = free & (free_rank < n_spawnable)                # (T,)
+    n_spawned = jnp.minimum(n_spawnable, n_free)
+
+    def put(field, value):
+        m = do.reshape((-1,) + (1,) * (field.ndim - 1))
+        return jnp.where(m, value, field)
+
+    zero3 = jnp.zeros((t_cap, 3), jnp.float32)
+    new = TrackState(
+        xyxy=put(upd.xyxy, boxes.xyxy[src]),
+        vel_px=put(upd.vel_px, jnp.zeros((t_cap, 4), jnp.float32)),
+        position=put(upd.position, det_pos[src]),
+        velocity=put(upd.velocity, zero3),
+        quat=put(upd.quat, det_quat[src]),
+        length=put(upd.length, det_dims[src, 0]),
+        width=put(upd.width, det_dims[src, 1]),
+        height=put(upd.height, det_dims[src, 2]),
+        label=put(upd.label, boxes.label[src]),
+        confidence=put(upd.confidence, boxes.confidence[src]),
+        id=put(upd.id, tracks.next_id + free_rank),
+        hits=put(upd.hits, jnp.ones((t_cap,), jnp.int32)),
+        misses=put(upd.misses, jnp.zeros((t_cap,), jnp.int32)),
+        age=put(upd.age, jnp.zeros((t_cap,), jnp.int32)),
+        valid=upd.valid | do,
+        has_pose=put(upd.has_pose, det_hasp[src]),
+        next_id=tracks.next_id + n_spawned,
+    )
+    stats = TrackStats(
+        matched=jnp.sum(matched.astype(jnp.int32)),
+        spawned=n_spawned,
+        killed=jnp.sum(killed.astype(jnp.int32)),
+        spawn_dropped=jnp.maximum(n_spawnable - n_free, 0),
+    )
+    return new, stats

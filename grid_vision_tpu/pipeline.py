@@ -262,6 +262,22 @@ def step_packed(params: Dict[str, Any], state: GridState,
     return step(params, state, Obs.unpack(packed, cfg), extrinsics, cfg)
 
 
+def step_tracked(params: Dict[str, Any], state: GridState, tracks,
+                 obs: Obs, extrinsics: Extrinsics, dt,
+                 cfg: GridVisionConfig, tcfg):
+    """step() + the multi-object tracker in one jit (ops/tracking.py).
+
+    Pure-additive extension: the reference has no tracker (markers are
+    regenerated anonymously every tick, grid_vision_node.cpp:405-523)
+    and every reference-parity output in StepOutput is unchanged — the
+    tracker only consumes it. dt may be traced (variable frame spacing).
+    Returns (state', tracks', out, TrackStats)."""
+    from .ops import tracking
+    new_state, out = step(params, state, obs, extrinsics, cfg)
+    new_tracks, tstats = tracking.update_tracks(tracks, out, dt, cfg, tcfg)
+    return new_state, new_tracks, out, tstats
+
+
 def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
          extrinsics: Extrinsics, cfg: GridVisionConfig,
          poses_cam: LShapePoses | None = None,
@@ -622,9 +638,15 @@ class Engine:
             functools.partial(step_packed, cfg=self.cfg),
             donate_argnums=(1,))
         self._chunk_jits: Dict[int, Any] = {}
+        self._tracked_jits: Dict[Any, Any] = {}
 
     def init_state(self, seed: int = 0) -> GridState:
         return GridState.create(self.cfg, seed)
+
+    def init_tracks(self, tcfg=None):
+        """Fresh tracker state for call_tracked (ops/tracking.py)."""
+        from .ops import tracking
+        return tracking.TrackState.create(tcfg or tracking.TrackConfig())
 
     def warmup(self, obs: Obs | None = None) -> None:
         """Ahead-of-time compile of the fused step (the reference's cold
@@ -644,6 +666,23 @@ class Engine:
         device array; see types.Obs.pack_bytes)."""
         return self._step_packed(self.params, state, packed,
                                  self.extrinsics)
+
+    def call_tracked(self, state: GridState, tracks, obs: Obs,
+                     dt=0.05, tcfg=None):
+        """Fused step + multi-object tracker (pipeline.step_tracked).
+        dt defaults to the reference's 50 ms tick; pass the real frame
+        spacing when pacing differs. Returns (state', tracks', out,
+        TrackStats)."""
+        from .ops import tracking
+        tcfg = tcfg or tracking.TrackConfig()
+        fn = self._tracked_jits.get(tcfg)
+        if fn is None:
+            fn = jax.jit(functools.partial(step_tracked, cfg=self.cfg,
+                                           tcfg=tcfg),
+                         donate_argnums=(1, 2))
+            self._tracked_jits[tcfg] = fn
+        return fn(self.params, state, tracks, obs,
+                  self.extrinsics, jnp.asarray(dt, jnp.float32))
 
     def call_packed_chunk(self, state: GridState, chunk) -> GridState:
         """Throughput-mode ingest: a (K, nbytes) stack of packed frames

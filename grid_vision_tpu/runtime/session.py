@@ -90,10 +90,13 @@ class SessionPublisher:
 
     def publish(self, step: int, out: StepOutput,
                 image: Optional[np.ndarray] = None,
-                stamp_ns: int = 0) -> None:
+                stamp_ns: int = 0,
+                extra_markers: Optional[List[dict]] = None) -> None:
         grid = np.asarray(out.occupancy_i8, np.int8)
         self._grid_box.write(_encode_array(grid, step, stamp_ns), stamp_ns)
         markers = viz.markers_from_output(out)
+        if extra_markers:
+            markers = markers + list(extra_markers)
         blob = json.dumps({"step": step, "stamp_ns": stamp_ns,
                            "grid_meta": self._grid_meta,
                            "markers": markers}).encode()
