@@ -346,3 +346,55 @@ def update_tracks(tracks: TrackState, out: StepOutput, dt,
         spawn_dropped=jnp.maximum(n_spawnable - n_free, 0),
     )
     return new, stats
+
+
+def forecast_occupancy(tracks: TrackState, horizons,
+                       cfg: GridVisionConfig, tcfg: TrackConfig,
+                       spread_base: float = 0.2,
+                       spread_rate: float = 0.5) -> jnp.ndarray:
+    """Predictive occupancy: where tracked objects will be.
+
+    The reference's grid (and this engine's compat grid) is purely
+    reactive — occupancy appears where objects ARE. With tracked
+    velocities the engine can also answer the planning question "which
+    cells will be occupied at t + h?". For each horizon h, every
+    confirmed track with live 3D state projects its yaw-aligned
+    length x width footprint at position + velocity * h, softened by a
+    positional uncertainty that grows with the horizon
+    (sigma(h) = spread_base + spread_rate * h meters — constant-velocity
+    model error growth). Per-cell probabilities combine as an
+    independent union across tracks.
+
+    horizons: static tuple/list of K floats (seconds).
+    Returns (K, H, W) float32 in [0, 1] on the same grid raster as
+    GridState (grid_map buffer order, geometry.grid_index_from_position).
+    One fused XLA computation; safe inside jit/vmap.
+    """
+    from .rasterize import _cell_centers, yaw_from_quat
+
+    h_cells, w_cells = cfg.grid_size
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h_cells, w_cells), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h_cells, w_cells), 1)
+    centers = _cell_centers(rows, cols, cfg)              # (H, W, 2)
+
+    active = tracks.confirmed(tcfg) & tracks.has_pose     # (T,)
+    yaw = yaw_from_quat(tracks.quat)
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    hl = jnp.maximum(tracks.length / 2.0, 0.1)
+    hw = jnp.maximum(tracks.width / 2.0, 0.1)
+
+    def one_horizon(h):
+        pred = tracks.position[:, :2] + tracks.velocity[:, :2] * h
+        sigma = spread_base + spread_rate * h
+        rx = centers[None, ..., 0] - pred[:, 0, None, None]   # (T, H, W)
+        ry = centers[None, ..., 1] - pred[:, 1, None, None]
+        u = c[:, None, None] * rx + s[:, None, None] * ry
+        v = -s[:, None, None] * rx + c[:, None, None] * ry
+        # soft rectangle: ~1 inside, smooth roll-off over sigma meters
+        pu = jax.nn.sigmoid((hl[:, None, None] - jnp.abs(u)) / sigma * 4.0)
+        pv = jax.nn.sigmoid((hw[:, None, None] - jnp.abs(v)) / sigma * 4.0)
+        p = pu * pv * active[:, None, None].astype(jnp.float32)
+        # independent union over tracks: 1 - prod(1 - p)
+        return 1.0 - jnp.prod(1.0 - p, axis=0)
+
+    return jnp.stack([one_horizon(float(h)) for h in horizons])

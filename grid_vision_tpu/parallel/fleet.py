@@ -61,6 +61,7 @@ class Fleet:
             donate_argnums=(1,),
         )
         self._compacted: Dict[int, Any] = {}
+        self._tracked: Dict[Any, Any] = {}
 
     def _make_compacted(self, budget_per_rig: int):
         """The PRODUCTION compacted path (pipeline.fleet_step), mesh-
@@ -108,6 +109,36 @@ class Fleet:
             fn = self._compacted[budget_per_rig] = self._make_compacted(
                 budget_per_rig)
         return fn(self.params, states, obs_batch, self.extrinsics)
+
+    # -- per-rig multi-object tracking (ops/tracking.py extension) --------
+    def init_tracks(self, tcfg=None):
+        """Stacked per-rig TrackStates, rig-sharded."""
+        from ..ops import tracking
+        tcfg = tcfg or tracking.TrackConfig()
+        one = tracking.TrackState.create(tcfg)
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * self.n_rigs), one)
+        return jax.device_put(
+            stacked,
+            jax.tree_util.tree_map(lambda _: self._rig_sharding, stacked))
+
+    def tracked_step(self, states: GridState, tracks, obs_batch: Obs,
+                     dt=0.05, tcfg=None):
+        """vmap(pipeline.step_tracked) over rigs: each rig carries its
+        own track table (ids are per-rig streams). Same zero-collective
+        sharding as __call__. Returns (states, tracks, outs, stats)."""
+        from ..ops import tracking
+        tcfg = tcfg or tracking.TrackConfig()
+        fn = self._tracked.get(tcfg)
+        if fn is None:
+            vstep = jax.vmap(
+                functools.partial(pipeline.step_tracked, cfg=self.cfg,
+                                  tcfg=tcfg),
+                in_axes=(None, 0, 0, 0, None, None))
+            fn = self._tracked[tcfg] = jax.jit(vstep,
+                                               donate_argnums=(1, 2))
+        return fn(self.params, states, tracks, obs_batch,
+                  self.extrinsics, jnp.asarray(dt, jnp.float32))
 
     def _state_struct(self):
         return GridState.create(self.cfg)

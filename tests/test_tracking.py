@@ -323,6 +323,102 @@ def test_vmap_per_rig_tracking():
         np.testing.assert_allclose(np.asarray(leaf_b[1]), np.asarray(lb))
 
 
+def _manual_track(position, velocity, length=4.0, width=2.0, yaw=0.0,
+                  tcfg=TrackConfig()):
+    """One confirmed track at the given base-frame state."""
+    tr = TrackState.create(tcfg)
+
+    def set0(x, v):
+        return x.at[0].set(v)
+
+    quat = np.array([0, 0, np.sin(yaw / 2), np.cos(yaw / 2)], np.float32)
+    return TrackState(
+        xyxy=set0(tr.xyxy, jnp.asarray([10, 10, 50, 50], jnp.float32)),
+        vel_px=tr.vel_px,
+        position=set0(tr.position, jnp.asarray(position, jnp.float32)),
+        velocity=set0(tr.velocity, jnp.asarray(velocity, jnp.float32)),
+        quat=set0(tr.quat, jnp.asarray(quat)),
+        length=set0(tr.length, length), width=set0(tr.width, width),
+        height=set0(tr.height, 1.5),
+        label=set0(tr.label, 9), confidence=set0(tr.confidence, 0.9),
+        id=set0(tr.id, 0),
+        hits=set0(tr.hits, tcfg.min_hits), misses=tr.misses, age=tr.age,
+        valid=set0(tr.valid, True), has_pose=set0(tr.has_pose, True),
+        next_id=jnp.asarray(1, jnp.int32))
+
+
+def test_forecast_occupancy_moves_with_velocity():
+    from grid_vision_tpu.geometry import grid_index_from_position
+
+    cfg = CFG
+    tcfg = TrackConfig()
+    tracks = _manual_track([10.0, 0.0, 0.0], [2.0, 0.0, 0.0])
+    fc = jax.jit(functools.partial(
+        tracking.forecast_occupancy, horizons=(0.0, 1.0, 2.0), cfg=cfg,
+        tcfg=tcfg))(tracks)
+    assert fc.shape == (3,) + cfg.grid_size
+    fc = np.asarray(fc)
+    assert fc.min() >= 0.0 and fc.max() <= 1.0
+    length = (float(cfg.grid_x), float(cfg.grid_y))
+    for k, h in enumerate((0.0, 1.0, 2.0)):
+        expect = np.array([10.0 + 2.0 * h, 0.0])
+        idx, ok = grid_index_from_position(
+            jnp.asarray(expect, jnp.float32), cfg.grid_center, length,
+            cfg.resolution)
+        assert bool(ok)
+        # the footprint interior saturates to 1.0 (a plateau), so locate
+        # it by center of mass rather than argmax
+        mass = fc[k] / fc[k].sum()
+        r = float((mass.sum(1) * np.arange(mass.shape[0])).sum())
+        c = float((mass.sum(0) * np.arange(mass.shape[1])).sum())
+        er, ec = int(idx[0]), int(idx[1])
+        assert abs(r - er) <= 2 and abs(c - ec) <= 2, (
+            f"h={h}: mass center {(r, c)}, expected ~{(er, ec)}")
+        assert fc[k].max() > 0.9
+    # uncertainty grows with horizon: occupied mass spreads
+    assert fc[2].sum() > fc[0].sum()
+    # unconfirmed/empty table forecasts nothing
+    fc0 = jax.jit(functools.partial(
+        tracking.forecast_occupancy, horizons=(1.0,), cfg=cfg,
+        tcfg=tcfg))(TrackState.create(tcfg))
+    assert float(np.asarray(fc0).max()) == 0.0
+
+
+def test_fleet_tracked_step():
+    """Per-rig tracking over the 8-device mesh (Fleet.tracked_step)."""
+    from grid_vision_tpu.parallel import Fleet
+    from grid_vision_tpu.types import Obs, PointCloud, tree_stack
+
+    tiny = GridVisionConfig(
+        max_points=256, max_candidates=32, max_detections=8,
+        max_orientation_batch=2, max_points_per_box=64,
+        camera_image_height=64, camera_image_width=96,
+        detection_network_input_size=32, network_height=32,
+        network_width=32, ransac_iters=16, compute_dtype="float32",
+        use_vision_orientation=False)
+    n_rigs = 8
+    fleet = Fleet(tiny, n_rigs=n_rigs, seed=0)
+    tcfg = TrackConfig(capacity=8)
+    states, tracks = fleet.init_states(), fleet.init_tracks(tcfg)
+    rng = np.random.default_rng(0)
+    obs = fleet.shard_obs(tree_stack([
+        Obs(image=jnp.asarray(rng.uniform(0, 255, (64, 96, 3)),
+                              jnp.float32),
+            cloud=PointCloud.from_numpy(
+                rng.uniform([-5, -2, 1], [5, 2, 30],
+                            size=(128, 3)).astype(np.float32),
+                None, tiny.max_points),
+            has_image=jnp.asarray(True), has_cloud=jnp.asarray(True))
+        for _ in range(n_rigs)]))
+    states, tracks, outs, tstats = fleet.tracked_step(
+        states, tracks, obs, dt=0.1, tcfg=tcfg)
+    assert tracks.valid.shape == (n_rigs, tcfg.capacity)
+    assert tstats.matched.shape == (n_rigs,)
+    assert states.log_odds.shape == (n_rigs,) + tiny.grid_size
+    # per-rig id streams: next_id is independent per rig
+    assert tracks.next_id.shape == (n_rigs,)
+
+
 def test_engine_call_tracked():
     cfg = GridVisionConfig(use_vision_orientation=False)
     eng = pipeline.Engine(cfg, extrinsics=default_extrinsics(), seed=0)
