@@ -12,6 +12,9 @@ Configs measured (BASELINE.json "configs"):
       the parity evidence attaches to)
   6. shared world grid (8 rigs -> 1 grid), K=8 scan-chained ticks per
      dispatch (SharedGrid.call_chunk)
+  7. tracked fleet: config 5's production path + the per-rig multi-
+     object tracker (ops/tracking.py) in the same scan — measures the
+     tracker's marginal cost on the headline path
 
 The headline single-line bench for the driver stays in bench.py; this
 suite writes a JSON dict of all metrics for profiling across rounds.
@@ -222,8 +225,8 @@ def main():
         results["streaming_ingest_hz"] = res_c.achieved_hz
         log(f"config4c {res_c.achieved_hz:.1f} Hz (pre-packed ring ingest)")
 
-    # rig observation pool, shared by configs 5 and 5b
-    if want('5') or want('5b'):
+    # rig observation pool, shared by configs 5, 5b and 7
+    if want('5') or want('5b') or want('7'):
         keys5 = jax.random.split(jax.random.PRNGKey(0), args.rigs)
         obs_b = jax.jit(jax.vmap(functools.partial(synth_obs, cfg=cfg)))(
             keys5)
@@ -331,6 +334,58 @@ def main():
             run5c, unit_count=args.rigs * scan5)
         log(f"config5b {results['fused_frames_per_sec_compat_f32']:.0f} "
             "fused frames/s (compat f32, exact kNN)")
+
+    # ---- config 7: tracked fleet (config 5 + per-rig tracker) -----------
+    if want('7'):
+        from grid_vision_tpu.ops import tracking as trk
+        tcfg7 = trk.TrackConfig()
+        budget7 = 5 * args.rigs
+        fstep7 = functools.partial(pipeline.fleet_step, cfg=cfg,
+                                   orientation_budget=budget7)
+        vupd = jax.vmap(functools.partial(trk.update_tracks, cfg=cfg,
+                                          tcfg=tcfg7),
+                        in_axes=(0, 0, None))
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def tracked_chunk(params, states, tracks, obs, extr, key):
+            key, k1, k2 = jax.random.split(key, 3)
+            ji_t = jax.random.uniform(k1, (scan5,), jnp.float32, -1, 1)
+            jc_t = jax.random.uniform(k2, (scan5,), jnp.float32,
+                                      -0.01, 0.01)
+
+            def body(carry, jij):
+                s, tr = carry
+                ji, jc = jij
+                o = Obs(image=obs.image + ji.astype(obs.image.dtype),
+                        cloud=PointCloud(xyz=obs.cloud.xyz + jc,
+                                         intensity=obs.cloud.intensity,
+                                         count=obs.cloud.count),
+                        has_image=obs.has_image, has_cloud=obs.has_cloud)
+                s2, out = fstep7(params, s, o, extr)
+                tr2, _ = vupd(tr, out, 0.05)
+                return (s2, tr2), ()
+
+            (states, tracks), _ = jax.lax.scan(body, (states, tracks),
+                                               (ji_t, jc_t))
+            return states, tracks, key
+
+        one_tr = trk.TrackState.create(tcfg7)
+        tracks7 = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * args.rigs), one_tr)
+        holder7 = {"s": GridState.create_batch(cfg, args.rigs),
+                   "t": tracks7,
+                   "k": jax.device_put(jax.random.PRNGKey(3))}
+
+        def run7():
+            holder7["s"], holder7["t"], holder7["k"] = tracked_chunk(
+                eng.params, holder7["s"], holder7["t"], obs_b,
+                eng.extrinsics, holder7["k"])
+            return holder7["s"].log_odds
+
+        results["tracked_fused_frames_per_sec"] = time_chunks(
+            run7, unit_count=args.rigs * scan5)
+        log(f"config7 {results['tracked_fused_frames_per_sec']:.0f} "
+            "tracked fused frames/s")
 
     # ---- config 6: shared world grid, scan-chained (VERDICT r2 #4) ------
     if want('6'):

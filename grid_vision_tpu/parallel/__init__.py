@@ -2,3 +2,4 @@
 
 from .mesh import make_mesh, shard_params  # noqa: F401
 from .fleet import Fleet  # noqa: F401
+from .multi_fleet import MultiFleet  # noqa: F401
