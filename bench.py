@@ -19,6 +19,12 @@ tunnel where jax.block_until_ready does NOT actually synchronize):
     the loop draws only O(rigs) scalars (round 1 generated full random
     images in-loop: ~0.05 ms/frame of threefry, 14% of the budget,
     benchmark overhead rather than pipeline work);
+  - every per-tick published output (boxes, poses, static kNN
+    localizations, the i8 grid export, saturation counters) is kept
+    LIVE via a carried digest (output_digest) — the reference
+    publishes all of them every tick, and a scan that discards
+    StepOutput lets XLA dead-code the static branch entirely
+    (measured +32% phantom fps without the digest);
   - synchronization is a scalar readback from the final grid state; the
     measured fixed readback latency is subtracted;
   - no sensor bytes cross the host link inside the timed region; grid
@@ -87,6 +93,11 @@ def build_obs_pool(cfg: GridVisionConfig, n_rigs: int,
     for r in range(n_rigs):
         scene = SyntheticScene(cfg, seed=r, n_ground=cfg.max_points // 2)
         scene.add_default_traffic()
+        # Static roadside furniture too: the reference world carries
+        # lights/signs and its node runs the static kNN-depth branch
+        # every tick — a pool without statics would let that branch be
+        # measured against an empty mask.
+        scene.add_default_statics()
         # Extra per-rig traffic so the dynamic-object load varies.
         rng = np.random.default_rng(1000 + r)
         for _ in range(int(rng.integers(0, 3))):
@@ -158,6 +169,28 @@ def readback(x) -> float:
     return float(jnp.asarray(x).reshape(-1)[0].astype(jnp.float32))
 
 
+def output_digest(out) -> jnp.ndarray:
+    """Scalar depending on EVERY per-tick published output.
+
+    The reference node publishes boxes, markers, static localizations
+    and the i8 occupancy grid every tick (grid_vision_node.cpp
+    timerCallback) — so a bench step must MATERIALIZE all of them.
+    A scan body that discards StepOutput lets XLA dead-code the whole
+    static kNN branch and the grid export, and the measurement reports
+    a program production never runs (observed +32% phantom fps when
+    this was left out). Carrying this digest through the scan keeps
+    the full publish workload live at the cost of one elementwise
+    reduce."""
+    sat = out.saturation
+    return (jnp.sum(out.static_points)
+            + jnp.sum(out.poses.position)
+            + jnp.sum(out.boxes.confidence)
+            + jnp.sum(out.occupancy_i8.astype(jnp.float32))
+            + jnp.sum((sat.prenms_overflow + sat.orientation_clamped
+                       + sat.box_cloud_truncated + sat.orientation_dropped
+                       + sat.static_depth_clamped).astype(jnp.float32)))
+
+
 def main():
     n_rigs = int(os.environ.get("GV_BENCH_RIGS", "128"))
     scan_steps = int(os.environ.get("GV_BENCH_SCAN", "8"))
@@ -203,7 +236,7 @@ def main():
         chunk_key, sub = jax.random.split(chunk_key)
         bright_t, jitter_t = draw_perturbations(sub, scan_steps, n_rigs)
 
-        def body(s, bj):
+        def body(carry, bj):
             # Perturbed pool observations EVERY step: nothing is
             # loop-invariant, every frame pays the full pipeline, and
             # no sensor bytes cross the host link inside the timed
@@ -211,27 +244,31 @@ def main():
             # ingest buffers). The random scalars are pre-drawn per
             # chunk (draw_perturbations) so the body carries no u32
             # key/threefry scalar-core work.
+            s, acc = carry
             obs_t = apply_perturbation(pool, bj[0], bj[1])
-            s2, _out = vstep(params, s, obs_t, extr)
-            return s2, ()
+            s2, out = vstep(params, s, obs_t, extr)
+            # every published output stays live — see output_digest
+            return (s2, acc + output_digest(out)), ()
 
-        states, _ = jax.lax.scan(body, states, (bright_t, jitter_t))
-        return states, chunk_key
+        (states, acc), _ = jax.lax.scan(
+            body, (states, jnp.zeros((), jnp.float32)),
+            (bright_t, jitter_t))
+        return states, acc, chunk_key
 
     states = GridState.create_batch(cfg, n_rigs)
     key = jax.device_put(jax.random.PRNGKey(100))
 
     t0 = time.perf_counter()
-    states, key = run_chunk(eng.params, states, pool, eng.extrinsics,
-                            key)
-    _ = readback(states.log_odds)
+    states, acc, key = run_chunk(eng.params, states, pool, eng.extrinsics,
+                                 key)
+    _ = readback(acc)
     log(f"[bench] compile+settle: {time.perf_counter() - t0:.1f}s")
 
     # Fixed readback latency (warm path).
     lat = []
     for _ in range(3):
         t = time.perf_counter()
-        _ = readback(states.log_odds)
+        _ = readback(acc)
         lat.append(time.perf_counter() - t)
     sync_lat = min(lat)
     log(f"[bench] readback latency: {sync_lat * 1e3:.0f} ms")
@@ -254,10 +291,10 @@ def main():
                                  ) < budget_s / 3:
         t_g = time.perf_counter()
         for _ in range(group_chunks):
-            states, key = run_chunk(eng.params, states, pool,
-                                    eng.extrinsics, key)
+            states, acc, key = run_chunk(eng.params, states, pool,
+                                         eng.extrinsics, key)
             chunks += 1
-        _ = readback(states.log_odds)
+        _ = readback(acc)
         g_elapsed = time.perf_counter() - t_g - sync_lat
         g_frames = n_rigs * scan_steps * group_chunks
         frames += g_frames

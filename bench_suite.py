@@ -41,7 +41,7 @@ from grid_vision_tpu.ops import raycast, rasterize
 from grid_vision_tpu.ops.decode import extract_boxes
 from grid_vision_tpu.models import yolov4_tiny
 from grid_vision_tpu.types import GridState, LShapePoses, Obs, PointCloud
-from bench import readback, synth_obs
+from bench import output_digest, readback, synth_obs
 
 
 def log(msg):
@@ -265,26 +265,29 @@ def main():
             jc_t = jax.random.uniform(k2, (scan5,), jnp.float32,
                                       -0.01, 0.01)
 
-            def body(s, jij):
+            def body(carry, jij):
+                s, acc = carry
                 ji, jc = jij
                 o = Obs(image=obs.image + ji.astype(obs.image.dtype),
                         cloud=PointCloud(xyz=obs.cloud.xyz + jc,
                                          intensity=obs.cloud.intensity,
                                          count=obs.cloud.count),
                         has_image=obs.has_image, has_cloud=obs.has_cloud)
-                s2, _ = fstep(params, s, o, extr)
-                return s2, ()
+                s2, out = fstep(params, s, o, extr)
+                # every published output stays live (bench.output_digest)
+                return (s2, acc + output_digest(out)), ()
 
-            states, _ = jax.lax.scan(body, states, (ji_t, jc_t))
-            return states, key
+            (states, acc), _ = jax.lax.scan(
+                body, (states, jnp.zeros((), jnp.float32)), (ji_t, jc_t))
+            return states, acc, key
 
         states = GridState.create_batch(cfg, args.rigs)
         holder = {"s": states, "k": jax.device_put(jax.random.PRNGKey(3))}
 
         def run5():
-            holder["s"], holder["k"] = fleet_chunk(
+            holder["s"], acc, holder["k"] = fleet_chunk(
                 eng.params, holder["s"], obs_b, eng.extrinsics, holder["k"])
-            return holder["s"].log_odds
+            return acc
 
         results["fused_frames_per_sec"] = time_chunks(
             run5, unit_count=args.rigs * scan5)
@@ -307,13 +310,15 @@ def main():
             key, sub = jax.random.split(key)
             ji_t = jax.random.uniform(sub, (scan5,), jnp.float32, -1, 1)
 
-            def body(s, ji):
+            def body(carry, ji):
+                s, acc = carry
                 o = Obs(image=obs.image + ji, cloud=obs.cloud,
                         has_image=obs.has_image, has_cloud=obs.has_cloud)
-                s2, _ = vstep_c(params, s, o, extr)
-                return s2, ()
-            states, _ = jax.lax.scan(body, states, ji_t)
-            return states, key
+                s2, out = vstep_c(params, s, o, extr)
+                return (s2, acc + output_digest(out)), ()
+            (states, acc), _ = jax.lax.scan(
+                body, (states, jnp.zeros((), jnp.float32)), ji_t)
+            return states, acc, key
 
         # f32 image pool: the compat line's inputs must not pass through
         # the fast path's bf16 storage quantization.
@@ -325,10 +330,10 @@ def main():
                     "k": jax.device_put(jax.random.PRNGKey(3))}
 
         def run5c():
-            holder_c["s"], holder_c["k"] = fleet_chunk_compat(
+            holder_c["s"], acc, holder_c["k"] = fleet_chunk_compat(
                 eng5.params, holder_c["s"], obs_f32, eng5.extrinsics,
                 holder_c["k"])
-            return holder_c["s"].log_odds
+            return acc
 
         results["fused_frames_per_sec_compat_f32"] = time_chunks(
             run5c, unit_count=args.rigs * scan5)
@@ -354,7 +359,7 @@ def main():
                                       -0.01, 0.01)
 
             def body(carry, jij):
-                s, tr = carry
+                s, tr, acc = carry
                 ji, jc = jij
                 o = Obs(image=obs.image + ji.astype(obs.image.dtype),
                         cloud=PointCloud(xyz=obs.cloud.xyz + jc,
@@ -363,11 +368,12 @@ def main():
                         has_image=obs.has_image, has_cloud=obs.has_cloud)
                 s2, out = fstep7(params, s, o, extr)
                 tr2, _ = vupd(tr, out, 0.05)
-                return (s2, tr2), ()
+                return (s2, tr2, acc + output_digest(out)), ()
 
-            (states, tracks), _ = jax.lax.scan(body, (states, tracks),
-                                               (ji_t, jc_t))
-            return states, tracks, key
+            (states, tracks, acc), _ = jax.lax.scan(
+                body, (states, tracks, jnp.zeros((), jnp.float32)),
+                (ji_t, jc_t))
+            return states, tracks, acc, key
 
         one_tr = trk.TrackState.create(tcfg7)
         tracks7 = jax.tree_util.tree_map(
@@ -377,10 +383,10 @@ def main():
                    "k": jax.device_put(jax.random.PRNGKey(3))}
 
         def run7():
-            holder7["s"], holder7["t"], holder7["k"] = tracked_chunk(
+            holder7["s"], holder7["t"], acc, holder7["k"] = tracked_chunk(
                 eng.params, holder7["s"], holder7["t"], obs_b,
                 eng.extrinsics, holder7["k"])
-            return holder7["s"].log_odds
+            return acc
 
         results["tracked_fused_frames_per_sec"] = time_chunks(
             run7, unit_count=args.rigs * scan5)

@@ -71,6 +71,19 @@ class GridVisionConfig:
     max_points_per_box: int = 1024   # per-box sub-cloud capacity for the PCA
                                      # path (reference keeps all points;
                                      # we cap and log when truncating)
+    max_static_depth: int = 16       # kNN-depth slots for STATIC boxes.
+                                     # The reference computes median
+                                     # cloud depth only for static boxes
+                                     # (computeDepthForBoundingBoxes
+                                     # receives static_bboxes,
+                                     # grid_vision_node.cpp:168-184);
+                                     # fuse compacts the static split to
+                                     # this capacity before the kNN
+                                     # (highest-confidence first) and
+                                     # counts overflow in
+                                     # SaturationStats.static_depth_
+                                     # clamped. >= max_detections
+                                     # disables the compaction.
     ransac_iters: int = 128          # RANSAC plane hypotheses (PCL default
                                      # max_iterations_ = 50; we use more,
                                      # evaluated in parallel, deterministic)
@@ -257,7 +270,8 @@ class GridVisionConfig:
         if self.wire_image_codec == "yuv420" and (
                 self.camera_image_height % 2 or self.camera_image_width % 2):
             raise ValueError("yuv420 wire codec needs even image dims")
-        for name in ("max_points", "max_detections", "k_near", "ransac_iters"):
+        for name in ("max_points", "max_detections", "k_near",
+                     "ransac_iters", "max_static_depth"):
             if getattr(self, name) <= 0:
                 raise ValueError(f"{name} must be positive")
         return self

@@ -182,8 +182,10 @@ class SharedGrid:
         # hub at ~55 Hz regardless of compute; scanning K ticks inside
         # one dispatch amortizes it to nothing at the price of K-tick
         # output latency. Semantics are EXACTLY K sequential _step calls
-        # (tested); only the final grid/occupancy materialize, plus the
-        # summed dropped count.
+        # (tested). EVERY tick's occupancy export materializes (stacked,
+        # leading K axis) — chunking delays the publish stream, it does
+        # not drop it, and discarding per-tick grids would also let XLA
+        # dead-code the per-tick export.
         @functools.partial(
             shard_map, mesh=self.mesh,
             in_specs=(P(), P(), P(None, "rig"), P("rig"), P(None, "rig")),
@@ -191,14 +193,14 @@ class SharedGrid:
         def _chunk_sm(params, log_odds, obs_c, extr_b, keys_c):
             def body(lo, xs):
                 obs_b, keys = xs
-                lo2, _occ, dropped = shared_grid_step(
+                lo2, occ, dropped = shared_grid_step(
                     params, lo, obs_b, extr_b, keys, cfg,
                     axis_name="rig", poses_fn=poses_fn,
                     orientation_budget=orientation_budget)
-                return lo2, dropped
-            lo, drops = jax.lax.scan(body, log_odds, (obs_c, keys_c))
-            lo, occ = rasterize._finish(lo, cfg)   # idempotent on lo
-            return lo, occ, jnp.sum(drops)
+                return lo2, (occ, dropped)
+            lo, (occ_c, drops) = jax.lax.scan(body, log_odds,
+                                              (obs_c, keys_c))
+            return lo, occ_c, jnp.sum(drops)
 
         # The key fan-out (split per tick, then per rig) happens INSIDE
         # the jit: eager splits were two extra host dispatches per
@@ -232,6 +234,7 @@ class SharedGrid:
         obs_c carries a leading (K, n_rigs) axis pair; the key stream
         matches K sequential __call__ ticks (split K times, then per
         rig — fanned out in-graph, one dispatch per chunk).
-        Returns (log_odds', occupancy', dropped_total)."""
+        Returns (log_odds', occupancies (K, H, W) — one per tick,
+        device-resident until read, dropped_total)."""
         return self._chunk(self.params, log_odds, obs_c, extr_b,
                            step_key)

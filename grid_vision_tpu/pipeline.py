@@ -310,15 +310,47 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
         PointCloud(xyz=cloud_cam, intensity=obs.cloud.intensity,
                    count=obs.cloud.count), K)
     uvd_valid = uvd_valid & obs.has_cloud
+    # The reference computes the kNN median depth ONLY for static boxes
+    # (computeDepthForBoundingBoxes receives static_bboxes,
+    # grid_vision_node.cpp:168-184); dynamic boxes never get one. Compact
+    # the static split to max_static_depth query slots (highest
+    # confidence first) so the (D, P) distance work scales with the
+    # static population instead of the detection capacity; overflow is
+    # counted in SaturationStats.static_depth_clamped. The depth-refine
+    # extension is the one consumer of dynamic-slot depths — it keeps
+    # the full-capacity query.
+    refine_wants_all = cfg.vision_depth_refine and cfg.use_vision_orientation
+    if cfg.max_static_depth < boxes.capacity and not refine_wants_all:
+        s_cap = cfg.max_static_depth
+        score = jnp.where(static_mask, boxes.confidence, -1.0)
+        _, knn_take = jax.lax.top_k(score, s_cap)
+        knn_take = knn_take.astype(jnp.int32)
+        q_boxes = Boxes(xyxy=boxes.xyxy[knn_take],
+                        confidence=boxes.confidence[knn_take],
+                        label=boxes.label[knn_take],
+                        valid=static_mask[knn_take])
+        n_static = jnp.sum(static_mask.astype(jnp.int32))
+        static_depth_clamped = jnp.maximum(0, n_static - s_cap)
+    else:
+        q_boxes, knn_take = boxes, None
+        static_depth_clamped = jnp.zeros((), jnp.int32)
     if cfg.knn_backend == "pallas":
         from .ops.pallas_knn import knn_median_depth_pallas
-        depths = knn_median_depth_pallas(uvd, uvd_valid, boxes, cfg.k_near)
+        q_depths = knn_median_depth_pallas(uvd, uvd_valid, q_boxes,
+                                           cfg.k_near)
     elif cfg.knn_backend == "approx":
-        depths = association.knn_median_depth_approx(uvd, uvd_valid, boxes,
-                                                     cfg.k_near)
+        q_depths = association.knn_median_depth_approx(uvd, uvd_valid,
+                                                       q_boxes, cfg.k_near)
     else:
-        depths = association.knn_median_depth(uvd, uvd_valid, boxes,
-                                              cfg.k_near)
+        q_depths = association.knn_median_depth(uvd, uvd_valid, q_boxes,
+                                                cfg.k_near)
+    if knn_take is None:
+        depths = q_depths
+    else:
+        # Scatter back to box slots; unselected slots keep the
+        # reference's preallocated default (-1.0, cloud_detections.cpp:49).
+        depths = jnp.full((boxes.capacity,), -1.0).at[knn_take].set(
+            jnp.where(q_boxes.valid, q_depths, -1.0))
     cam_points = pixel_to_3d(boxes.centers(), depths, K_inv)
     base_points = transform_points(extrinsics.camera_to_base, cam_points)
     static_points = jnp.where(static_mask[:, None], base_points, 0.0)
@@ -410,6 +442,7 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
         box_cloud_truncated=box_cloud_truncated,
         orientation_dropped=(zero if orientation_dropped is None
                              else orientation_dropped.astype(jnp.int32)),
+        static_depth_clamped=static_depth_clamped,
     )
 
     # camera -> base (transformLShapeObjects, :525-531)
@@ -684,14 +717,21 @@ class Engine:
         return fn(self.params, state, tracks, obs,
                   self.extrinsics, jnp.asarray(dt, jnp.float32))
 
-    def call_packed_chunk(self, state: GridState, chunk) -> GridState:
+    def call_packed_chunk(self, state: GridState, chunk):
         """Throughput-mode ingest: a (K, nbytes) stack of packed frames
         runs as ONE transfer + ONE scan dispatch of K sequential steps.
         On a latency-bound host link (this machine's tunnel: ~15 ms per
         round trip regardless of size) this amortizes the fixed cost over
-        K frames at the price of K-frame output latency. Per-step outputs
-        are not materialized — only the carried grid state (the temporal
-        sequence semantics are identical to K call_packed steps)."""
+        K frames at the price of K-frame output latency.
+
+        Returns (state', outs) where outs is the STACKED per-step
+        StepOutput (leading K axis, device-resident until read): every
+        frame's publish payload is computed — the chunked mode delays
+        outputs, it does not drop them (the reference publishes every
+        tick; a scan that discarded StepOutput would also let XLA
+        dead-code the static kNN branch and grid export and measure a
+        program production never runs). The temporal sequence semantics
+        are identical to K call_packed steps."""
         k = int(chunk.shape[0])
         fn = self._chunk_jits.get(k)
         if fn is None:
@@ -700,10 +740,9 @@ class Engine:
             @functools.partial(jax.jit, donate_argnums=(1,))
             def fn(params, state, bufs, extr):
                 def body(s, b):
-                    s2, _ = step_packed(params, s, b, extr, cfg)
-                    return s2, ()
-                s, _ = jax.lax.scan(body, state, bufs)
-                return s
+                    s2, out = step_packed(params, s, b, extr, cfg)
+                    return s2, out
+                return jax.lax.scan(body, state, bufs)
 
             self._chunk_jits[k] = fn
         return fn(self.params, state, chunk, self.extrinsics)

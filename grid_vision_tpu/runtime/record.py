@@ -164,7 +164,8 @@ def play(path: str, chunk: int = 8, session: Optional[str] = None,
             while n < r.n_frames:
                 k = min(chunk, r.n_frames - n)
                 bufs = np.stack([r.read(n + j)[0] for j in range(k)])
-                state = eng.call_packed_chunk(state, jnp.asarray(bufs))
+                state, _outs = eng.call_packed_chunk(state,
+                                                     jnp.asarray(bufs))
                 n += k
         else:
             for buf, stamp in r:

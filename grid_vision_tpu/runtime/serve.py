@@ -176,7 +176,8 @@ class FleetServer:
         # orientation clamp, per-box cloud truncation, budget drops).
         self.saturation_totals = {
             "prenms_overflow": 0, "orientation_clamped": 0,
-            "box_cloud_truncated": 0, "orientation_dropped": 0}
+            "box_cloud_truncated": 0, "orientation_dropped": 0,
+            "static_depth_clamped": 0}
 
     def poll_batch(self) -> Obs:
         """Latest-wins read of every rig's mailboxes -> batched host Obs
@@ -237,9 +238,13 @@ class FleetServer:
                 from ..types import tree_stack
                 obs_c = tree_stack(self._obs_buf)
                 self._obs_buf.clear()
-                self.world_lo, occ, dropped = self.grid.call_chunk(
+                self.world_lo, occ_c, dropped = self.grid.call_chunk(
                     self.world_lo, obs_c, self._extr_b,
                     jax.random.PRNGKey(i))
+                # call_chunk materializes every tick's grid (delayed
+                # publish stream); the hub's publish cadence shows the
+                # newest one
+                occ = occ_c[-1]
             else:
                 self.world_lo, occ, dropped = self.grid(
                     self.world_lo, obs, self._extr_b,
@@ -307,7 +312,8 @@ def _grid_only_output(occupancy, cfg: GridVisionConfig):
         occupancy_i8=export_occupancy_i8(occupancy),
         saturation=SaturationStats(
             prenms_overflow=zero, orientation_clamped=zero,
-            box_cloud_truncated=zero, orientation_dropped=zero))
+            box_cloud_truncated=zero, orientation_dropped=zero,
+            static_depth_clamped=zero))
 
 
 def selftest_producers(name: str, cfg: GridVisionConfig, n_rigs: int,

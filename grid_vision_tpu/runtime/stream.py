@@ -100,7 +100,7 @@ def replay_chunked(engine: Engine, scene: SyntheticScene, n_steps: int,
             if j < n_chunks:
                 futures[j] = pool.submit(gen, j)
             t0 = time.perf_counter()
-            state = engine.call_packed_chunk(state, jnp.asarray(buf))
+            state, _outs = engine.call_packed_chunk(state, jnp.asarray(buf))
             stats.append(StepStats(
                 step=i * chunk, dispatch_s=time.perf_counter() - t0,
                 cloud_points_dropped=0))
@@ -134,7 +134,7 @@ def replay_ring(engine: Engine, scene: SyntheticScene, n_steps: int,
     t_start = time.perf_counter()
     for i in range(n_chunks):
         lo = (i * chunk) % (ring - chunk + 1)
-        state = engine.call_packed_chunk(
+        state, _outs = engine.call_packed_chunk(
             state, jnp.asarray(bufs[lo:lo + chunk]))
     _ = float(np.asarray(jax.device_get(
         state.log_odds.reshape(-1)[0])))

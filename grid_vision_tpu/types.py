@@ -464,6 +464,9 @@ class SaturationStats:
       mode.
     orientation_dropped: candidates lost to the fleet orientation budget
       (pipeline.fleet_step). Always 0 in the single-rig step.
+    static_depth_clamped: static boxes beyond max_static_depth whose kNN
+      median depth was not computed (the reference computes depth for
+      every static box; we keep the highest-confidence ones and count).
 
     Host-side cloud-subsampling drops (PointCloud.pack_numpy) are
     reported by the ingest layer (runtime/stream.StepStats), not here —
@@ -474,12 +477,14 @@ class SaturationStats:
     orientation_clamped: jnp.ndarray
     box_cloud_truncated: jnp.ndarray
     orientation_dropped: jnp.ndarray
+    static_depth_clamped: jnp.ndarray
 
     @staticmethod
     def zeros() -> "SaturationStats":
         z = jnp.zeros((), jnp.int32)
         return SaturationStats(prenms_overflow=z, orientation_clamped=z,
-                               box_cloud_truncated=z, orientation_dropped=z)
+                               box_cloud_truncated=z, orientation_dropped=z,
+                               static_depth_clamped=z)
 
 
 @pytree_dataclass

@@ -190,7 +190,8 @@ def test_selftest_surfaces_saturation_telemetry():
         server.spin(steps=3, hz=50.0)
         sat = server.saturation_totals
         assert set(sat) == {"prenms_overflow", "orientation_clamped",
-                            "box_cloud_truncated", "orientation_dropped"}
+                            "box_cloud_truncated", "orientation_dropped",
+                            "static_depth_clamped"}
         assert all(isinstance(v, int) and v >= 0 for v in sat.values()), sat
     finally:
         stop.set()

@@ -172,12 +172,13 @@ def test_chunk_matches_k_sequential_steps():
     keys_c = jax.vmap(lambda kk: jax.random.split(kk, n))(
         jax.random.split(key, k))
     lo = sg.init_grid()
+    assert occ_c.shape[0] == k   # one materialized grid PER tick
     for t in range(k):
         obs_t = jax.tree_util.tree_map(lambda x: x[t], obs_c)
         lo, occ, _ = sg._step(sg.params, lo, obs_t, extr_b, keys_c[t])
+        np.testing.assert_allclose(np.asarray(occ_c[t]), np.asarray(occ),
+                                   atol=1e-6)
     np.testing.assert_allclose(np.asarray(lo_c), np.asarray(lo),
-                               atol=1e-6)
-    np.testing.assert_allclose(np.asarray(occ_c), np.asarray(occ),
                                atol=1e-6)
     assert int(d_c) == 0
 

@@ -119,6 +119,44 @@ def test_step_and_fleet_thread_counters():
     assert out_b.saturation.orientation_dropped.shape == (2,)
 
 
+def test_static_depth_compaction_counter_and_equivalence():
+    """max_static_depth compacts the kNN query to the highest-confidence
+    static boxes (the reference computes depth only for static_bboxes,
+    grid_vision_node.cpp:168-184); overflow is counted, and the selected
+    boxes localize identically to the uncompacted run."""
+    base = dict(max_points=512, max_detections=16)
+    boxes = _boxes(7, label=5)          # 7 static (red light)
+    # A few cloud points down each box center's viewing ray so every
+    # box has a kNN median depth.
+    cfg0 = GridVisionConfig(**base)
+    pts = []
+    rng = np.random.default_rng(1)
+    for i in range(7):
+        u = 20 + 60 * i + 25.0
+        v = 40 + 50.0
+        for z in rng.uniform(5.0, 5.5, 5):
+            pts.append([(u - cfg0.cx) * z / cfg0.fx,
+                        (v - cfg0.cy) * z / cfg0.fy, z])
+    xyz = np.asarray(pts, np.float32)
+
+    out_full = _run_fuse(GridVisionConfig(**base, max_static_depth=16),
+                         boxes, cloud_xyz=xyz)
+    assert int(out_full.saturation.static_depth_clamped) == 0
+
+    out_c = _run_fuse(GridVisionConfig(**base, max_static_depth=4),
+                      boxes, cloud_xyz=xyz)
+    assert int(out_c.saturation.static_depth_clamped) == 3
+    # Highest-confidence 4 statics (slots 0..3): identical localization.
+    np.testing.assert_allclose(np.asarray(out_c.static_points)[:4],
+                               np.asarray(out_full.static_points)[:4],
+                               rtol=1e-6, atol=1e-6)
+    # Overflow slots fall back to the -1 preallocated-depth default, so
+    # they must differ from the full run's real localization.
+    d = np.abs(np.asarray(out_c.static_points)[4:7]
+               - np.asarray(out_full.static_points)[4:7]).max(axis=1)
+    assert (d > 1e-3).all()
+
+
 def test_host_cloud_subsampling_counter():
     xyz = np.random.default_rng(0).normal(size=(300, 3)).astype(np.float32)
     cloud, dropped = PointCloud.pack_numpy(xyz, None, 128)

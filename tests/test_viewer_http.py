@@ -29,7 +29,8 @@ def _fake_output(cfg):
         saturation=SaturationStats(prenms_overflow=zero,
                                    orientation_clamped=zero,
                                    box_cloud_truncated=zero,
-                                   orientation_dropped=zero),
+                                   orientation_dropped=zero,
+                                   static_depth_clamped=zero),
     )
 
 

@@ -49,7 +49,8 @@ def main():
     from grid_vision_tpu.config import GridVisionConfig
     from grid_vision_tpu.types import GridState, Obs
     from bench import (apply_perturbation, build_obs_pool,
-                       draw_perturbations, readback)
+                       draw_perturbations, readback,
+                       output_digest)
 
     cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16")
     eng = pipeline.Engine(cfg, seed=0)
@@ -71,13 +72,17 @@ def main():
             key, sub = jax.random.split(key)
             br, ji = draw_perturbations(sub, args.scan, args.rigs)
 
-            def body(s, bj):
+            def body(carry, bj):
+                s, acc = carry
                 o = apply_perturbation(obs, bj[0], bj[1])
-                s2, _ = fstep(params, s, o, extr)
-                return s2, ()
+                s2, out = fstep(params, s, o, extr)
+                # outputs stay live (bench.output_digest): measure the
+                # program production runs, not a dead-coded subset
+                return (s2, acc + output_digest(out)), ()
 
-            states, _ = jax.lax.scan(body, states, (br, ji))
-            return states, key
+            (states, acc), _ = jax.lax.scan(
+                body, (states, jnp.zeros((), jnp.float32)), (br, ji))
+            return states, acc, key
 
         return fleet_chunk
 
@@ -88,10 +93,10 @@ def main():
         holder = {"s": states, "k": jax.device_put(jax.random.PRNGKey(3))}
 
         def runner(holder=holder, chunk=chunk, pool=pool):
-            holder["s"], holder["k"] = chunk(
+            holder["s"], acc, holder["k"] = chunk(
                 eng.params, holder["s"], pool, eng.extrinsics,
                 holder["k"])
-            return holder["s"].log_odds
+            return acc
 
         t0 = time.perf_counter()
         _ = readback(runner())

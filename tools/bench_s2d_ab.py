@@ -43,7 +43,7 @@ def main():
     from grid_vision_tpu import pipeline
     from grid_vision_tpu.config import GridVisionConfig
     from grid_vision_tpu.types import GridState, Obs, PointCloud
-    from bench import readback, synth_obs
+    from bench import output_digest, readback, synth_obs
 
     cfg_a = GridVisionConfig(max_points=8192, compute_dtype="bfloat16",
                              detector_s2d_stem=True)
@@ -76,11 +76,11 @@ def main():
                                          intensity=obs.cloud.intensity,
                                          count=obs.cloud.count),
                         has_image=obs.has_image, has_cloud=obs.has_cloud)
-                s2, _ = fstep(params, s, o, extr)
-                return s2, ()
+                s2, out = fstep(params, s, o, extr)
+                return s2, output_digest(out)
 
-            states, _ = jax.lax.scan(body, states, ks)
-            return states, key
+            states, digs = jax.lax.scan(body, states, ks)
+            return states, jnp.sum(digs), key
 
         return fleet_chunk
 
@@ -91,10 +91,10 @@ def main():
         holder = {"s": states, "k": jax.device_put(jax.random.PRNGKey(3))}
 
         def runner(holder=holder, chunk=chunk):
-            holder["s"], holder["k"] = chunk(
+            holder["s"], acc, holder["k"] = chunk(
                 eng.params, holder["s"], obs_b, eng.extrinsics,
                 holder["k"])
-            return holder["s"].log_odds
+            return acc
 
         t0 = time.perf_counter()
         _ = readback(runner())  # compile + settle

@@ -47,7 +47,8 @@ def main():
     from grid_vision_tpu.config import GridVisionConfig
     from grid_vision_tpu.types import GridState, Obs
     from bench import (apply_perturbation, draw_perturbations, readback,
-                       synth_obs)
+                       synth_obs,
+                       output_digest)
 
     cfg_a = GridVisionConfig(max_points=8192, compute_dtype="bfloat16",
                              detector_stem_backend=args.a)
@@ -88,13 +89,17 @@ def main():
             key, sub = jax.random.split(key)
             br, ji = draw_perturbations(sub, args.scan, args.rigs)
 
-            def body(s, bj):
+            def body(carry, bj):
+                s, acc = carry
                 o = apply_perturbation(obs, bj[0], bj[1])
-                s2, _ = fstep(params, s, o, extr)
-                return s2, ()
+                s2, out = fstep(params, s, o, extr)
+                # outputs stay live (bench.output_digest): measure the
+                # program production runs, not a dead-coded subset
+                return (s2, acc + output_digest(out)), ()
 
-            states, _ = jax.lax.scan(body, states, (br, ji))
-            return states, key
+            (states, acc), _ = jax.lax.scan(
+                body, (states, jnp.zeros((), jnp.float32)), (br, ji))
+            return states, acc, key
 
         return fleet_chunk
 
@@ -105,10 +110,10 @@ def main():
         holder = {"s": states, "k": jax.device_put(jax.random.PRNGKey(3))}
 
         def runner(holder=holder, chunk=chunk):
-            holder["s"], holder["k"] = chunk(
+            holder["s"], acc, holder["k"] = chunk(
                 eng.params, holder["s"], obs_b, eng.extrinsics,
                 holder["k"])
-            return holder["s"].log_odds
+            return acc
 
         t0 = time.perf_counter()
         _ = readback(runner())  # compile + settle

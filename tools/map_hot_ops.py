@@ -35,7 +35,8 @@ def main():
     from grid_vision_tpu.config import GridVisionConfig
     from grid_vision_tpu.types import GridState
     from bench import (apply_perturbation, build_obs_pool,
-                       draw_perturbations)
+                       draw_perturbations,
+                       output_digest)
 
     cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16",
                            knn_backend=args.knn,
@@ -51,13 +52,18 @@ def main():
         bright_t, jitter_t = draw_perturbations(key, args.scan,
                                                 args.rigs)
 
-        def body(s, bj):
+        def body(carry, bj):
+            s, acc = carry
             obs = apply_perturbation(pool, bj[0], bj[1])
-            s2, _ = pipeline.fleet_step(params, s, obs, extr, cfg,
-                                        orientation_budget=budget)
-            return s2, ()
-        states, _ = jax.lax.scan(body, states, (bright_t, jitter_t))
-        return states
+            s2, out = pipeline.fleet_step(params, s, obs, extr, cfg,
+                                          orientation_budget=budget)
+            # outputs stay live (bench.output_digest): profile the
+            # program production runs, not a dead-coded subset
+            return (s2, acc + output_digest(out)), ()
+        (states, acc), _ = jax.lax.scan(
+            body, (states, jnp.zeros((), jnp.float32)),
+            (bright_t, jitter_t))
+        return states, acc
 
     states = GridState.create_batch(cfg, args.rigs)
     lowered = chunk.lower(eng.params, states, pool, eng.extrinsics,
