@@ -80,6 +80,16 @@ def knn_median_depth(uvd: jnp.ndarray, uvd_valid: jnp.ndarray,
         cat_z = jnp.concatenate(
             [best_z, jnp.broadcast_to(uc[None, :, 2], d2c.shape)],
             axis=-1)
+        # k smallest of the merged row as a k-long argmin/re-mask/gather
+        # chain. MEASURED NEGATIVE (round 3, tools/bench_knn_ab.py): one
+        # lax.top_k + gather per chunk — identical results including tie
+        # order — is 40% SLOWER end-to-end (3 903 vs 6 579 fused fps in
+        # an interleaved 64-rig A/B): XLA's TPU TopK lowering is a
+        # sort-class op, while the k=4 chain stays in cheap fused
+        # VPU compare/select passes. Don't "simplify" this to top_k.
+        # Tie rule (locked by test_knn_first_occurrence_tie_oracle):
+        # equal d2 resolves to the lowest global point index, because
+        # bests precede the chunk and argmin takes the first occurrence.
         nd, nz = [], []
         cur = cat_d
         for _ in range(k):

@@ -60,6 +60,41 @@ def test_knn_median_depth_matches_oracle(seed):
     np.testing.assert_allclose(got, ref, rtol=1e-4)
 
 
+def test_knn_first_occurrence_tie_oracle():
+    """The chunked streaming exact kNN's tie contract: equal d2 at the
+    k boundary resolves to the LOWEST global point index (bests precede
+    each chunk in the merged candidate row and argmin takes the first
+    occurrence). Locked against an implementation-independent NumPy
+    stable-sort oracle over heavily tied distances (grid-quantized
+    coordinates), so any reformulation (e.g. a lax.top_k merge — a
+    measured perf negative, see tools/bench_knn_ab.py) must preserve
+    the selected neighbor SET, not just the distances."""
+    rng = np.random.default_rng(7)
+    # Quantized coordinates -> many exactly-equal squared distances,
+    # with distinct depths at tied distances so a wrong tie pick
+    # changes the median.
+    xyz = rng.integers(-4, 5, size=(600, 3)).astype(np.float32)
+    xyz[:, 2] = np.abs(xyz[:, 2]) + 1.0 + 0.001 * np.arange(600)
+    cloud = PointCloud.from_numpy(xyz, None, 1024)
+    K = jnp.asarray(K_NP)
+    uvd, valid = association.project_cloud_to_image(cloud, K)
+    boxes = make_boxes(BOXES)
+    k = 4
+
+    got = np.asarray(association.knn_median_depth(uvd, valid, boxes, k))
+
+    uvd_np, valid_np = np.asarray(uvd), np.asarray(valid)
+    centers = np.asarray(boxes.centers())
+    for i in range(len(BOXES)):
+        d2 = (np.sum((centers[i, None, :] - uvd_np[:, :2]) ** 2, axis=-1)
+              + uvd_np[:, 2] ** 2)
+        d2 = np.where(valid_np, d2, np.inf)
+        order = np.argsort(d2, kind="stable")[:k]   # first-occurrence ties
+        depths = np.sort(uvd_np[order, 2][np.isfinite(d2[order])])
+        assert depths.size > 0
+        assert got[i] == np.float32(depths[depths.size // 2])
+
+
 def test_knn_empty_cloud_returns_minus_one():
     cloud = PointCloud.empty(256)
     uvd, valid = association.project_cloud_to_image(cloud, jnp.asarray(K_NP))
