@@ -161,15 +161,25 @@ def greedy_match(score: jnp.ndarray):
     Repeatedly takes the global argmax among still-unmatched pairs with
     score > 0 (ineligible pairs must be pre-masked to <= 0). Returns
     (tmatch (T,) int32 det index or -1, dmatch (D,) int32 track index or
-    -1). min(T, D) iterations of an argmax over T*D lanes — O(T*D*K)
-    VPU work on a 32x64 matrix is negligible.
+    -1). A while_loop bounded by min(T, D) iterations but exiting as
+    soon as no positive score remains: each pass is a serialized
+    argmax+scatter over T*D lanes, and real frames match ~5 objects,
+    not capacity — a fixed fori_loop pays the full min(T, D) latency
+    every step (its tail iterations are provably no-ops: once
+    max(s) <= 0, ok is False and the carry is unchanged, so the early
+    exit is result-identical; under vmap the batched while runs until
+    every lane is done).
     """
     t, d = score.shape
     rows = jnp.arange(t, dtype=jnp.int32)
     cols = jnp.arange(d, dtype=jnp.int32)
 
-    def body(_, carry):
-        s, tm, dm = carry
+    def cond(carry):
+        s, tm, dm, n = carry
+        return (n < min(t, d)) & (jnp.max(s) > 0.0)
+
+    def body(carry):
+        s, tm, dm, n = carry
         flat = jnp.argmax(s).astype(jnp.int32)
         i, j = flat // d, flat % d
         ok = s.reshape(-1)[flat] > 0.0
@@ -177,12 +187,12 @@ def greedy_match(score: jnp.ndarray):
         dm = dm.at[j].set(jnp.where(ok, i, dm[j]))
         dead = (rows[:, None] == i) | (cols[None, :] == j)
         s = jnp.where(ok & dead, -1.0, s)
-        return s, tm, dm
+        return s, tm, dm, n + 1
 
-    _, tmatch, dmatch = jax.lax.fori_loop(
-        0, min(t, d), body,
+    _, tmatch, dmatch, _ = jax.lax.while_loop(
+        cond, body,
         (score, jnp.full((t,), -1, jnp.int32),
-         jnp.full((d,), -1, jnp.int32)))
+         jnp.full((d,), -1, jnp.int32), jnp.zeros((), jnp.int32)))
     return tmatch, dmatch
 
 
