@@ -122,7 +122,9 @@ class FleetServer:
     def __init__(self, name: str, cfg: GridVisionConfig, n_rigs: int,
                  publish_every: int = 1, overlay: bool = False,
                  mesh=None, shared: bool = False,
-                 rig_extrinsics=None, chunk: int = 1):
+                 rig_extrinsics=None, chunk: int = 1,
+                 track: bool = False, track_dt: float = 0.05,
+                 tcfg=None):
         """shared=True runs as a FUSION HUB: all rigs' evidence merges
         into ONE world grid (parallel/shared_grid.py; rig_extrinsics is
         an optional list of per-rig Extrinsics placing each sensor in
@@ -132,7 +134,14 @@ class FleetServer:
         chunk>1 (shared mode only) scan-chains K world ticks into ONE
         device dispatch (SharedGrid.call_chunk) — throughput mode for a
         latency-bound host link, at the price of K-tick output latency
-        (mirrors Engine.call_packed_chunk)."""
+        (mirrors Engine.call_packed_chunk).
+
+        track=True (fleet mode only) runs the per-rig multi-object
+        tracker (ops/tracking.py, Fleet.tracked_step) in the same
+        dispatch: each rig's session gains stable-id track markers
+        (io/viz.track_markers) and the server accumulates tracker
+        telemetry in .track_totals. track_dt is the inter-tick seconds
+        the velocity model assumes (pass 1/hz of the spin cadence)."""
         self.name = name
         self.cfg = cfg
         self.n_rigs = n_rigs
@@ -141,7 +150,11 @@ class FleetServer:
         if chunk > 1 and not shared:
             raise ValueError("chunk>1 requires shared=True (the per-rig "
                              "fleet already scans internally)")
+        if track and shared:
+            raise ValueError("track=True requires fleet mode (the hub "
+                             "publishes only the fused world grid)")
         self.chunk = max(int(chunk), 1)
+        self.track = track
         self._obs_buf: List[Obs] = []
         if shared:
             from ..parallel.shared_grid import SharedGrid
@@ -162,6 +175,13 @@ class FleetServer:
             self._pubs = [SessionPublisher(rig_session(name, r), cfg,
                                            overlay=overlay)
                           for r in range(n_rigs)]
+            if track:
+                from ..ops.tracking import TrackConfig
+                self.tcfg = tcfg or TrackConfig()
+                self.track_dt = float(track_dt)
+                self.tracks = self.fleet.init_tracks(self.tcfg)
+                self.track_totals = {"matched": 0, "spawned": 0,
+                                     "killed": 0, "spawn_dropped": 0}
         self._img_boxes = [_image_box(name, r, cfg, create=True)
                            for r in range(n_rigs)]
         self._cloud_boxes = [_cloud_box(name, r, cfg, create=True)
@@ -260,16 +280,36 @@ class FleetServer:
                     occ, self.cfg))
             return
         obs = self.fleet.shard_obs(self.poll_batch())
-        self.states, outs = self.fleet(self.states, obs)
+        if self.track:
+            self.states, self.tracks, outs, tstats = (
+                self.fleet.tracked_step(self.states, self.tracks, obs,
+                                        dt=self.track_dt,
+                                        tcfg=self.tcfg))
+        else:
+            self.states, outs = self.fleet(self.states, obs)
         if i % self.publish_every == 0:
             outs = jax.device_get(outs)
             for k in self.saturation_totals:
                 self.saturation_totals[k] += int(
                     np.sum(getattr(outs.saturation, k)))
+            host_tracks = None
+            if self.track:
+                from ..io.viz import track_markers
+                host_tracks = jax.device_get(self.tracks)
+                tstats = jax.device_get(tstats)
+                for k in self.track_totals:
+                    self.track_totals[k] += int(
+                        np.sum(getattr(tstats, k)))
             for r in range(self.n_rigs):
                 out_r = jax.tree_util.tree_map(lambda a: a[r], outs)
+                extra = None
+                if host_tracks is not None:
+                    tr_r = jax.tree_util.tree_map(lambda a: a[r],
+                                                  host_tracks)
+                    extra = track_markers(tr_r, self.tcfg)
                 self._pubs[r].publish(i, out_r,
-                                      image=self._last_images[r])
+                                      image=self._last_images[r],
+                                      extra_markers=extra)
 
     def spin(self, steps: Optional[int] = None, hz: float = 20.0,
              stop: Optional[threading.Event] = None) -> int:
@@ -361,6 +401,10 @@ def main(argv=None):
                     help="shared mode: scan-chain K world ticks per "
                          "device dispatch (throughput mode; K-tick "
                          "output latency)")
+    ap.add_argument("--track", action="store_true",
+                    help="fleet mode: run the per-rig multi-object "
+                         "tracker in the same dispatch; sessions gain "
+                         "stable-id track markers")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -369,9 +413,25 @@ def main(argv=None):
     from ..config import load_config
     cfg = (load_config(args.config) if args.config
            else GridVisionConfig())
+    if args.track:
+        # tracking needs real detections; default to the shipped
+        # checkpoints when the config names none (same convention as
+        # run --track / eval-pose --det net)
+        import dataclasses
+        import os
+        w = {}
+        if not cfg.detection_weights_file and os.path.exists(
+                "weights/detector.npz"):
+            w["detection_weights_file"] = "weights/detector.npz"
+        if (cfg.use_vision_orientation and not cfg.vision_weights_file
+                and os.path.exists("weights/orientation.npz")):
+            w["vision_weights_file"] = "weights/orientation.npz"
+        if w:
+            cfg = dataclasses.replace(cfg, **w)
     server = FleetServer(args.name, cfg, args.rigs,
                          publish_every=args.publish_every,
-                         shared=args.shared, chunk=args.chunk)
+                         shared=args.shared, chunk=args.chunk,
+                         track=args.track, track_dt=1.0 / args.hz)
     stop = threading.Event()
     if args.selftest:
         selftest_producers(args.name, cfg, args.rigs, args.hz, stop)
@@ -384,6 +444,11 @@ def main(argv=None):
     try:
         n = server.spin(steps=args.steps, hz=args.hz)
         print(f"served {n} fleet steps", flush=True)
+        if args.track:
+            t = server.track_totals
+            print(f"tracker: matched {t['matched']} spawned "
+                  f"{t['spawned']} killed {t['killed']} "
+                  f"spawn_dropped {t['spawn_dropped']}", flush=True)
     finally:
         stop.set()
         server.close()

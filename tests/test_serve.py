@@ -196,3 +196,55 @@ def test_selftest_surfaces_saturation_telemetry():
     finally:
         stop.set()
         server.close()
+
+
+def test_fleet_server_tracked_mode():
+    """serve --track: the tracker runs in the fleet dispatch, sessions
+    carry (possibly empty) stable-id track markers, and tracker
+    telemetry accumulates. Structural test — whether tracks confirm
+    depends on the detector firing on the tiny scene; track-quality
+    itself is covered by tests/test_tracking.py."""
+    import json
+
+    from grid_vision_tpu.runtime.session import MARKERS_CHANNEL
+
+    cfg = small_cfg()
+    name = "gvtest-serve-trk"
+    server = FleetServer(name, cfg, n_rigs=2, mesh=_mesh2(),
+                         track=True, track_dt=0.05)
+    stop = threading.Event()
+    try:
+        selftest_producers(name, cfg, 2, hz=20.0, stop=stop)
+        time.sleep(0.3)
+        server.spin(steps=4, hz=50.0)
+        # tracker state advanced per rig (leading rig axis kept)
+        ids = np.asarray(server.tracks.id)
+        assert ids.shape[0] == 2
+        tt = server.track_totals
+        assert set(tt) == {"matched", "spawned", "killed",
+                           "spawn_dropped"}
+        assert all(isinstance(v, int) and v >= 0 for v in tt.values()), tt
+        # per-rig markers JSON decodes; any track markers carry stable ids
+        for r in range(2):
+            box = native.ShmMailbox(
+                native.shm_path(rig_session(name, r), MARKERS_CHANNEL))
+            frame = box.read()
+            box.close()
+            assert frame is not None, f"rig {r} published no markers"
+            payload = json.loads(frame[0].decode())
+            assert isinstance(payload["markers"], list)
+            for m in payload["markers"]:
+                if m.get("ns") == "track":
+                    assert isinstance(m["track_id"], int)
+    finally:
+        stop.set()
+        server.close()
+
+
+def test_fleet_server_track_requires_fleet_mode():
+    import pytest
+
+    cfg = small_cfg()
+    with pytest.raises(ValueError):
+        FleetServer("gvtest-serve-trk2", cfg, n_rigs=2, mesh=_mesh2(),
+                    shared=True, track=True)
