@@ -216,8 +216,21 @@ def main():
     # the fleet path calls the detector un-vmapped, satisfying the
     # kernel's no-vmap rule. GV_BENCH_STEM=xla restores plain convs.
     stem = os.environ.get("GV_BENCH_STEM", "pallas")
+    # max_static_depth=16: the static-compacted kNN (a round-3 perf win;
+    # compaction is opt-in since the config default moved to
+    # max_detections for reference parity). The scene pool's static
+    # population never exceeds it (static_depth_clamped stays 0).
+    #
+    # orientation_compute="float32": the orientation BRANCH (crops + net
+    # + MultiBin solve) runs f32 while the detector keeps bf16 — the
+    # round-4 parity fix (PARITY.json): solver position is the one
+    # quantity the grid footprint is cell-scale sensitive to, and the
+    # MXU passes are bf16-multiply either way, so only activation HBM
+    # traffic changes. GV_BENCH_ORIENT_DTYPE=follow measures all-bf16.
+    odtype = os.environ.get("GV_BENCH_ORIENT_DTYPE", "float32")
     cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16",
                            knn_backend=knn, detector_stem_backend=stem,
+                           max_static_depth=16, orientation_compute=odtype,
                            detection_weights_file="weights/detector.npz",
                            vision_weights_file="weights/orientation.npz")
     eng = pipeline.Engine(cfg, seed=0)

@@ -126,8 +126,10 @@ def main():
     # A/B (tools/bench_stem_ab.py: 6859 vs 6318 fused fps); every suite
     # path calls the detector un-vmapped, so the kernel's no-vmap rule
     # holds. GV_BENCH_STEM=xla restores the plain conv path.
+    # max_static_depth=16: the static-compacted kNN perf opt-in (the
+    # config default is now max_detections for reference parity).
     cfg = GridVisionConfig(
-        max_points=8192, compute_dtype="bfloat16",
+        max_points=8192, compute_dtype="bfloat16", max_static_depth=16,
         detector_stem_backend=os.environ.get("GV_BENCH_STEM", "pallas"))
     eng = pipeline.Engine(cfg, seed=0)
     obs1 = jax.jit(functools.partial(synth_obs, cfg=cfg))(

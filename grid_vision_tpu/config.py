@@ -71,19 +71,24 @@ class GridVisionConfig:
     max_points_per_box: int = 1024   # per-box sub-cloud capacity for the PCA
                                      # path (reference keeps all points;
                                      # we cap and log when truncating)
-    max_static_depth: int = 16       # kNN-depth slots for STATIC boxes.
+    max_static_depth: int = 64       # kNN-depth slots for STATIC boxes.
                                      # The reference computes median
-                                     # cloud depth only for static boxes
+                                     # cloud depth for EVERY static box
                                      # (computeDepthForBoundingBoxes
                                      # receives static_bboxes,
-                                     # grid_vision_node.cpp:168-184);
-                                     # fuse compacts the static split to
-                                     # this capacity before the kNN
-                                     # (highest-confidence first) and
-                                     # counts overflow in
+                                     # grid_vision_node.cpp:168-184), so
+                                     # the default (== max_detections)
+                                     # disables compaction and matches
+                                     # it exactly. Setting this BELOW
+                                     # max_detections is a perf opt-in
+                                     # (the bench configs use 16): fuse
+                                     # compacts the static split to this
+                                     # capacity before the kNN (highest-
+                                     # confidence first), clamped boxes
+                                     # keep the -1.0 depth sentinel, and
+                                     # overflow is counted in
                                      # SaturationStats.static_depth_
-                                     # clamped. >= max_detections
-                                     # disables the compaction.
+                                     # clamped.
     ransac_iters: int = 128          # RANSAC plane hypotheses (PCL default
                                      # max_iterations_ = 50; we use more,
                                      # evaluated in parallel, deterministic)
@@ -172,6 +177,26 @@ class GridVisionConfig:
     orientation_arch: str = "s2d"   # "s2d" (space-to-depth stem, MXU-
                                     # aligned channels — round-2 default)
                                     # or "resnet" (round-1 ResNet-18)
+    orientation_compute: str = "follow"  # orientation-BRANCH compute
+                                    # dtype: "follow" (= compute_dtype),
+                                    # "float32", or "bfloat16". The
+                                    # MultiBin 64-combo solver's output
+                                    # position is the one quantity the
+                                    # grid footprint is sensitive to at
+                                    # the cell scale (PARITY.json: with
+                                    # everything bf16 the vision-mode
+                                    # production-vs-compat agreement
+                                    # sits AT the 99% bar, while PCA
+                                    # mode — whose poses come from f32
+                                    # cloud math — is 100%). "float32"
+                                    # pins crops + orientation net +
+                                    # solver to f32 while the detector
+                                    # (the big conv block) keeps
+                                    # compute_dtype; conv MXU passes
+                                    # are bf16-multiply/f32-accumulate
+                                    # either way (default precision),
+                                    # so the cost is activation HBM
+                                    # traffic only.
     orientation_s2d_fold: bool = True  # run the s2d stem as the exact
                                     # equivalent 12x12/s8 conv on raw
                                     # crops (same params, same math —
@@ -255,6 +280,10 @@ class GridVisionConfig:
                 "detector_stem_backend != 'xla' applies only to the "
                 "float detector; it would be silently ignored with "
                 f"detector_precision={self.detector_precision!r}")
+        if self.orientation_compute not in ("follow", "float32",
+                                            "bfloat16"):
+            raise ValueError(
+                f"unknown orientation_compute {self.orientation_compute!r}")
         if self.orientation_arch not in ("s2d", "resnet"):
             raise ValueError(
                 f"unknown orientation_arch {self.orientation_arch!r}")

@@ -171,6 +171,16 @@ class GridDeltaDecoder:
             o += 4 * n_spans
             lens = np.frombuffer(payload, np.uint32, n_spans, o)
             o += 4 * n_spans
+            # Validate the WHOLE record before touching decoder state: a
+            # truncated/corrupt record must not leave _prev half-patched
+            # at an unchanged _seq (a later well-formed delta would then
+            # apply cleanly onto corrupt state with no gap detected).
+            total = int(lens.sum(dtype=np.int64))
+            if (o + total != len(payload)
+                    or (n_spans and int((starts.astype(np.int64)
+                                         + lens).max()) > n_cells)):
+                raise ValueError(
+                    "corrupt delta record: spans exceed payload/grid")
             flat = self._prev
             for s, l in zip(starts, lens):
                 flat[s:s + l] = np.frombuffer(payload, np.uint8, l, o)

@@ -202,16 +202,23 @@ def per_box_pose(out: StepOutput, cfg: GridVisionConfig):
     Returns (position (D, 3), quat (D, 4), dims (D, 3) lwh,
     has_pose (D,)) in base frame, one row per box slot of out.boxes:
       - static boxes take static_points (kNN median depth back-
-        projection; markers-only in the reference, quirk Q6);
+        projection; markers-only in the reference, quirk Q6) — but only
+        where static_depths carries a real measurement: a -1.0 sentinel
+        (no cloud overlap / max_static_depth compaction) back-projects
+        BEHIND the camera and must not become track state;
       - dynamic boxes take out.poses. In vision mode the poses are the
         compacted dynamic batch (pipeline._compact_dynamic order —
         deterministic in the boxes, so it can be recomputed here and
-        scattered back); in PCA mode poses are already box-aligned.
+        scattered back); in PCA mode poses are already box-aligned. The
+        mode is read from cfg.use_vision_orientation (NOT inferred from
+        capacities: max_orientation_batch == max_detections is a legal
+        vision config where a capacity heuristic would silently treat
+        the permuted dynamic batch as box-slot-aligned).
     """
     boxes = out.boxes
     d = boxes.capacity
     poses = out.poses
-    if poses.capacity == d:
+    if not cfg.use_vision_orientation:
         # PCA path: pose slot i corresponds to box slot i.
         pos, quat = poses.position, poses.quat
         dims = jnp.stack([poses.length, poses.width, poses.height], -1)
@@ -228,23 +235,33 @@ def per_box_pose(out: StepOutput, cfg: GridVisionConfig):
             jnp.stack([poses.length, poses.width, poses.height], -1))
         hasp = jnp.zeros((d,), bool).at[order].set(poses.valid)
     static = out.static_boxes.valid
+    static_measured = static & (out.static_depths > 0.0)
     pos = jnp.where(static[:, None], out.static_points, pos)
     quat = jnp.where(static[:, None],
                      jnp.zeros((d, 4), jnp.float32).at[:, 3].set(1.0), quat)
     dims = jnp.where(static[:, None], 0.0, dims)
-    hasp = jnp.where(static, True, hasp)
+    hasp = jnp.where(static, static_measured, hasp)
     return pos, quat, dims, hasp
 
 
 def update_tracks(tracks: TrackState, out: StepOutput, dt,
-                  cfg: GridVisionConfig, tcfg: TrackConfig):
+                  cfg: GridVisionConfig, tcfg: TrackConfig,
+                  match_fn=None):
     """One tracker tick: predict -> match -> update/coast/kill -> spawn.
 
     Pure function of (tracks, out, dt); returns (TrackState, TrackStats).
     dt may be a traced scalar (variable frame spacing) or a python
     float. Safe under vmap (per-rig fleets) and lax.scan (chunked
     replay).
+
+    match_fn: assignment function with greedy_match's contract
+    ((T, D) score -> (tmatch, dmatch)); defaults to greedy_match (the
+    production path). train.eval_tracking.hungarian_match is the
+    optimal drop-in used to bound greedy's cost in the MOT A/B
+    (docs/QUALITY.md tracking section).
     """
+    if match_fn is None:
+        match_fn = greedy_match
     dt = jnp.asarray(dt, jnp.float32)
     inv_dt = 1.0 / jnp.maximum(dt, 1e-6)
     boxes = out.boxes
@@ -260,7 +277,7 @@ def update_tracks(tracks: TrackState, out: StepOutput, dt,
         gate &= tracks.label[:, None] == boxes.label[None, :]
     gate &= iou >= tcfg.iou_min
     # iou_min may be 0; bias scores positive so gated pairs are > 0.
-    tmatch, dmatch = greedy_match(jnp.where(gate, iou + 1e-6, -1.0))
+    tmatch, dmatch = match_fn(jnp.where(gate, iou + 1e-6, -1.0))
     matched = tmatch >= 0
     j = jnp.clip(tmatch, 0, d_cap - 1)          # det index per track slot
 

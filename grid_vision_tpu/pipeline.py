@@ -201,19 +201,29 @@ def pose_branch(params, obs: Obs, boxes: Boxes, K: jnp.ndarray,
     return _pca_poses(cloud_cam, cloud_valid, boxes, K, rng, cfg)
 
 
+def _orientation_dtype(cfg: GridVisionConfig):
+    """Compute dtype of the orientation BRANCH (crops + net + solver).
+
+    cfg.orientation_compute="follow" inherits compute_dtype; "float32"
+    pins the branch to f32 independent of the detector (the production
+    parity knob — see the config.py field comment / PARITY.json)."""
+    mode = cfg.orientation_compute
+    if mode == "follow":
+        mode = cfg.compute_dtype
+    return jnp.bfloat16 if mode == "bfloat16" else jnp.float32
+
+
 def _vision_orientation_poses(params, image, boxes: Boxes,
                               K: jnp.ndarray, cfg: GridVisionConfig):
     """The use_vision_orientation=true branch (:190-209), camera frame."""
     dyn_boxes, _ = _compact_dynamic(boxes, cfg.max_orientation_batch)
+    gdtype = _orientation_dtype(cfg)
     crops = preprocess.crop_resize_standardize(
-        image, dyn_boxes, cfg.network_height,
-        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-        else jnp.float32)
+        image, dyn_boxes, cfg.network_height, compute_dtype=gdtype)
     ocfg = orientation_net.OrientationConfig(
         input_size=cfg.network_height, width=cfg.orientation_width,
         arch=cfg.orientation_arch, s2d_fold=cfg.orientation_s2d_fold,
-        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-        else jnp.float32)
+        compute_dtype=gdtype)
     orient, conf, dims = orientation_net.forward(
         params["orientation"], crops, ocfg)
     return multibin.multibin_poses(orient, conf, dims, dyn_boxes, K, cfg)
@@ -488,6 +498,7 @@ def fuse(params: Dict[str, Any], state: GridState, obs: Obs, boxes: Boxes,
         boxes=boxes,
         poses=poses,
         static_points=static_points,
+        static_depths=depths,
         static_boxes=static_boxes,
         occupancy_i8=rasterize.export_occupancy_i8(new_occ),
         saturation=saturation,
@@ -536,8 +547,7 @@ def _fleet_vision_poses(params, images: jnp.ndarray, boxes_b: Boxes,
     # than the padded per-rig sampling: duplicating (budget) 480x640
     # images moves ~1.2 GB/step through HBM (XLA lowers it to serialized
     # dynamic-slice loops), while crops are ~300 KB each.
-    gdtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-              else jnp.float32)
+    gdtype = _orientation_dtype(cfg)
     # Crop per rig, standardize AFTER compaction: the per-crop mean/var
     # normalize is the profile's top VPU item and is per-crop
     # elementwise, so running it on only the `budget` kept crops is

@@ -348,6 +348,7 @@ def _grid_only_output(occupancy, cfg: GridVisionConfig):
         boxes=Boxes.empty(cfg.max_detections),
         poses=LShapePoses.empty(cfg.max_orientation_batch),
         static_points=jnp.zeros((cfg.max_detections, 3)),
+        static_depths=jnp.full((cfg.max_detections,), -1.0),
         static_boxes=Boxes.empty(cfg.max_detections),
         occupancy_i8=export_occupancy_i8(occupancy),
         saturation=SaturationStats(

@@ -494,6 +494,12 @@ class StepOutput:
     boxes: final 2D detections (the annotated-image publish's content,
     grid_vision_node.cpp:239); poses: L-shape 3D objects (markers, :243);
     static_points: base-frame 3D positions of static detections (:183);
+    static_depths: (D,) box-slot-aligned kNN median camera depths backing
+    static_points, with the reference's preallocated -1.0 sentinel
+    (cloud_detections.cpp:49) where no depth was computed (dynamic slot,
+    no cloud overlap, or max_static_depth compaction) — consumers of
+    static_points (the tracker) must gate on static_depths > 0, because a
+    sentinel back-projects BEHIND the camera;
     static_boxes: the static split (marker labels); occupancy_i8: the
     nav_msgs/OccupancyGrid export, int8 0..100 (:240 via
     GridMapRosConverter::toOccupancyGrid(grid, "occupancy", 0.0, 1.0));
@@ -503,6 +509,7 @@ class StepOutput:
     boxes: Boxes
     poses: LShapePoses
     static_points: jnp.ndarray
+    static_depths: jnp.ndarray
     static_boxes: Boxes
     occupancy_i8: jnp.ndarray
     saturation: SaturationStats

@@ -90,6 +90,7 @@ def test_viz_outputs(tmp_path):
                         valid=poses.valid.at[0].set(True))
     static_pts = jnp.zeros((4, 3))
     out = StepOutput(boxes=boxes, poses=poses, static_points=static_pts,
+                     static_depths=jnp.full((boxes.capacity,), 5.0),
                      static_boxes=boxes,
                      occupancy_i8=jnp.zeros((10, 10), jnp.int8),
                      saturation=SaturationStats.zeros())

@@ -83,6 +83,9 @@ def _output(boxes, positions=None, static_valid=None):
     return StepOutput(
         boxes=boxes, poses=poses,
         static_points=jnp.zeros((cap, 3), jnp.float32),
+        # valid static boxes carry a measured depth; everything else the
+        # reference -1.0 sentinel (tracker must ignore those slots)
+        static_depths=jnp.where(sb_valid, 5.0, -1.0),
         static_boxes=static_boxes,
         occupancy_i8=jnp.zeros((8, 8), jnp.int8),
         saturation=SaturationStats.zeros())
@@ -212,6 +215,7 @@ def test_per_box_pose_vision_alignment():
     out = StepOutput(
         boxes=boxes, poses=poses,
         static_points=jnp.asarray(static_pts),
+        static_depths=jnp.asarray([5.0] + [-1.0] * (cap - 1)),
         static_boxes=Boxes(xyxy=boxes.xyxy, confidence=boxes.confidence,
                            label=boxes.label,
                            valid=jnp.asarray([True] + [False] * (cap - 1))),

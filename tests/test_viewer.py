@@ -117,6 +117,7 @@ def _fake_output(cfg, with_cube=True):
     return StepOutput(
         boxes=boxes, poses=poses,
         static_points=jnp.zeros((cfg.max_detections, 3)),
+        static_depths=jnp.full((cfg.max_detections,), -1.0),
         static_boxes=Boxes.empty(cfg.max_detections),
         occupancy_i8=jnp.asarray(grid),
         saturation=SaturationStats.zeros(),

@@ -24,6 +24,7 @@ def _fake_output(cfg):
         boxes=Boxes.empty(cfg.max_detections),
         poses=LShapePoses.empty(cfg.max_orientation_batch),
         static_points=jnp.zeros((cfg.max_detections, 3)),
+        static_depths=jnp.full((cfg.max_detections,), -1.0),
         static_boxes=Boxes.empty(cfg.max_detections),
         occupancy_i8=jnp.asarray(occ),
         saturation=SaturationStats(prenms_overflow=zero,

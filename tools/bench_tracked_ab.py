@@ -94,6 +94,8 @@ def main():
                     out2 = StepOutput(
                         boxes=out.boxes, poses=out.poses,
                         static_points=jnp.zeros_like(out.static_points),
+                        static_depths=jnp.full_like(out.static_depths,
+                                                    -1.0),
                         static_boxes=sb.__class__(
                             xyxy=sb.xyxy, confidence=sb.confidence,
                             label=sb.label,

@@ -36,16 +36,35 @@ DYNAMIC_LABELS = (0, 1, 2, 9)
 STATIC_LABELS = (4, 5, 6)
 
 
+def _harness_config(args, **overrides):
+    """compat (default) or the PRODUCTION config's field values.
+
+    --config production sets the fields the shipped bench.py config
+    changes (compute_dtype=bfloat16, max_static_depth=16,
+    orientation_compute) so the oracle harness grades the production
+    engine's downstream math, not just the compat one. The harness
+    injects net outputs (see module docstring), so the conv stacks
+    themselves are out of scope here — tools/parity_production.py is
+    the end-to-end (real detector, both precisions) companion."""
+    from grid_vision_tpu.config import GridVisionConfig
+
+    if args.config == "production":
+        overrides.update(compute_dtype="bfloat16", max_static_depth=16,
+                         orientation_compute="float32")
+    else:
+        overrides.update(compute_dtype="float32")
+    return GridVisionConfig(**overrides)
+
+
 def run_pca(args, jax, jnp):
     from grid_vision_tpu import GridState, pipeline
-    from grid_vision_tpu.config import GridVisionConfig
     from grid_vision_tpu.types import Obs, PointCloud
     from tests.oracle import reference_oracle as oracle
     from tests.test_pipeline import (EXTR, R_CB, make_boxes, project_bbox,
                                      synthetic_scene)
 
-    cfg = GridVisionConfig(use_vision_orientation=False, max_points=4096,
-                           compute_dtype="float32")
+    cfg = _harness_config(args, use_vision_orientation=False,
+                          max_points=4096)
     fuse = jax.jit(functools.partial(pipeline.fuse, cfg=cfg))
 
     rng_master = np.random.default_rng(args.seed)
@@ -96,15 +115,14 @@ def run_pca(args, jax, jnp):
 
 def run_vision(args, jax, jnp):
     from grid_vision_tpu import GridState, pipeline
-    from grid_vision_tpu.config import GridVisionConfig
     from grid_vision_tpu.ops import multibin
     from grid_vision_tpu.geometry import intrinsic_matrix
     from grid_vision_tpu.types import Obs, PointCloud
     from tests.oracle import reference_oracle as oracle
     from tests.test_pipeline import EXTR, R_CB, make_boxes
 
-    cfg = GridVisionConfig(use_vision_orientation=True, max_points=256,
-                           compute_dtype="float32")
+    cfg = _harness_config(args, use_vision_orientation=True,
+                          max_points=256)
     cap = cfg.max_orientation_batch
     K = intrinsic_matrix(cfg.fx, cfg.fy, cfg.cx, cfg.cy)
     proj = np.concatenate([np.asarray(K), np.zeros((3, 1))], axis=1)
@@ -190,17 +208,29 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mode", choices=("pca", "vision", "both"),
                     default="both")
+    ap.add_argument("--config", choices=("compat", "production"),
+                    default="compat",
+                    help="engine config the oracle grades: compat "
+                         "(f32 exact) or the shipped production "
+                         "field values (see _harness_config)")
+    ap.add_argument("--device", action="store_true",
+                    help="run on the default backend (TPU) instead of "
+                         "pinning CPU — the hardware PARITY evidence")
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if not args.device:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     report = {
         "criterion": "int8 occupancy agreement within one step",
         "scenarios": args.scenarios,
         "steps_per_scenario": args.steps,
+        "config": args.config,
+        "backend": None,   # filled below
     }
+    report["backend"] = jax.devices()[0].platform
     ok = True
     for mode, runner in (("pca", run_pca), ("vision", run_vision)):
         if args.mode not in (mode, "both"):
