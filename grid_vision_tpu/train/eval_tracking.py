@@ -193,8 +193,15 @@ def simulate(objs: List[SimObject], cfg: GridVisionConfig,
              n_frames: int = 250, dt: float = 0.05, seed: int = 0,
              p_dropout: float = 0.05, p_false_positive: float = 0.08,
              box_jitter_px: float = 1.5, pos_noise_m: float = 0.15,
-             occl_iou: float = 0.45, p_occl: float = 0.85) -> SimFrames:
-    """Run the scripted world and the detection-imperfection model."""
+             occl_iou: float = 0.45, p_occl_enter: float = 0.5,
+             p_occl_stay: float = 0.92) -> SimFrames:
+    """Run the scripted world and the detection-imperfection model.
+
+    Occlusion is a 2-state Markov process per object while the overlap
+    condition holds (real detectors lose a partially-occluded object in
+    temporally-correlated episodes, not i.i.d. frames): a visible
+    object under heavy overlap becomes hidden w.p. p_occl_enter per
+    frame; a hidden one stays hidden w.p. p_occl_stay."""
     rng = np.random.default_rng(seed + 7919)
     g = len(objs)
     d_cap = cfg.max_detections
@@ -214,6 +221,7 @@ def simulate(objs: List[SimObject], cfg: GridVisionConfig,
         gt_label=np.asarray([o.label for o in objs], np.int32),
         sizes=np.asarray([o.size for o in objs], np.float32),
         dt=dt)
+    hidden = np.zeros((g,), bool)      # Markov occlusion state
 
     for t in range(T):
         boxes, idxs = [], []
@@ -231,20 +239,26 @@ def simulate(objs: List[SimObject], cfg: GridVisionConfig,
             boxes.append(bb)
             idxs.append(i)
 
-        # mutual occlusion: of two heavily-overlapping boxes the farther
-        # one is usually NOT detected (p_occl per frame — partial
-        # occlusion flickers in real detectors rather than blanking)
-        occluded = set()
+        # mutual occlusion: the farther of two heavily-overlapping boxes
+        # is subject to the Markov hide process (see docstring)
+        overlapped = set()
         for a in range(len(boxes)):
             for b in range(a + 1, len(boxes)):
                 if _iou(boxes[a], boxes[b]) > occl_iou:
                     ia, ib = idxs[a], idxs[b]
                     far = ia if f.gt_pos[t, ia, 2] > f.gt_pos[t, ib, 2] \
                         else ib
-                    if rng.uniform() < p_occl:
-                        occluded.add(far)
+                    overlapped.add(far)
+        occluded = set()
         for i in idxs:
-            f.gt_visible[t, i] = i not in occluded
+            if i in overlapped:
+                p = p_occl_stay if hidden[i] else p_occl_enter
+                hidden[i] = rng.uniform() < p
+            else:
+                hidden[i] = False
+            if hidden[i]:
+                occluded.add(i)
+            f.gt_visible[t, i] = not hidden[i]
 
         entries = []
         for bb, i in zip(boxes, idxs):

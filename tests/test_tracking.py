@@ -438,3 +438,48 @@ def test_engine_call_tracked():
     assert int(jnp.sum(tracks.valid)) == int(tracks.next_id)
     assert int(tstats.matched) >= 0
     assert out.occupancy_i8.shape == cfg.grid_size
+
+
+# ---------------------------------------------------------------------------
+# sequence-level quality floors (train/eval_tracking.py MOT replays)
+# ---------------------------------------------------------------------------
+
+def test_mot_quality_floors():
+    """CLEAR-MOT floors on the canonical scripted replay (crossings +
+    Markov occlusion episodes + churn, 250 frames) through the
+    production update_tracks. Floors are measured-minus-margin from
+    docs/QUALITY.md's tracking table (seed 0: MOTA 0.831, IDF1 0.505,
+    78 IDSW, 80 FP, 56 FN of 1266 visible GT) — a regression that
+    halves identity quality fails here."""
+    from grid_vision_tpu.train import eval_tracking as et
+
+    cfg = GridVisionConfig(use_vision_orientation=False)
+    objs = et.make_crossing_scenario(0, 250)
+    f = et.simulate(objs, cfg, 250, seed=0)
+    snaps = et.run_tracker(f, cfg, TrackConfig())
+    m = et.mot_metrics(f, snaps)
+    assert m["n_gt"] > 1000                  # the replay is non-trivial
+    assert m["mota"] >= 0.75, m
+    assert m["idf1"] >= 0.42, m
+    assert m["id_switches"] <= 110, m
+    assert m["fp"] <= 130, m
+    assert m["fn"] <= 110, m
+
+
+def test_mot_greedy_matches_hungarian():
+    """The production greedy matcher costs nothing vs the optimal
+    (Hungarian) assignment on the canonical replay — the A/B that
+    justifies not paying Hungarian's serialized cost in the jit
+    (measured: greedy 0.863 MOTA / 0.592 IDF1 aggregate vs Hungarian
+    0.860 / 0.576, docs/QUALITY.md)."""
+    from grid_vision_tpu.train import eval_tracking as et
+
+    cfg = GridVisionConfig(use_vision_orientation=False)
+    objs = et.make_crossing_scenario(1, 200)
+    f = et.simulate(objs, cfg, 200, seed=1)
+    mg = et.mot_metrics(f, et.run_tracker(f, cfg, TrackConfig(),
+                                          "greedy"))
+    mh = et.mot_metrics(f, et.run_tracker(f, cfg, TrackConfig(),
+                                          "hungarian"))
+    assert mg["mota"] >= mh["mota"] - 0.03, (mg, mh)
+    assert mg["id_switches"] <= mh["id_switches"] + 20, (mg, mh)
