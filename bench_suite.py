@@ -410,6 +410,70 @@ def main():
         log(f"config7 {results['tracked_fused_frames_per_sec']:.0f} "
             "tracked fused frames/s")
 
+    # ---- config 7f: config 7 + predictive occupancy at publish cadence -
+    if want('7f'):
+        # serve --track --forecast cost: the per-rig forecast planes
+        # (ops/tracking.forecast_occupancy, 3 horizons) are computed
+        # ONCE per chunk — the publish cadence, exactly where
+        # FleetServer calls Fleet.forecast — and folded into the digest
+        # so XLA cannot dead-code them. The delta vs config 7 is the
+        # marginal serving cost docs/QUALITY.md cites.
+        from grid_vision_tpu.ops import tracking as trk7f
+        tcfg7f = trk7f.TrackConfig()
+        horizons7f = (0.5, 1.0, 2.0)
+        budget7f = 5 * args.rigs
+        fstep7f = functools.partial(pipeline.fleet_step, cfg=cfg,
+                                    orientation_budget=budget7f)
+        vupd7f = jax.vmap(functools.partial(trk7f.update_tracks, cfg=cfg,
+                                            tcfg=tcfg7f),
+                          in_axes=(0, 0, None))
+        vfc = jax.vmap(lambda tr: trk7f.forecast_occupancy(
+            tr, horizons7f, cfg, tcfg7f))
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def forecast_chunk(params, states, tracks, obs, extr, key):
+            key, k1, k2 = jax.random.split(key, 3)
+            ji_t = jax.random.uniform(k1, (scan5,), jnp.float32, -1, 1)
+            jc_t = jax.random.uniform(k2, (scan5,), jnp.float32,
+                                      -0.01, 0.01)
+
+            def body(carry, jij):
+                s, tr, acc = carry
+                ji, jc = jij
+                o = Obs(image=obs.image + ji.astype(obs.image.dtype),
+                        cloud=PointCloud(xyz=obs.cloud.xyz + jc,
+                                         intensity=obs.cloud.intensity,
+                                         count=obs.cloud.count),
+                        has_image=obs.has_image, has_cloud=obs.has_cloud)
+                s2, out = fstep7f(params, s, o, extr)
+                tr2, _ = vupd7f(tr, out, 0.05)
+                return (s2, tr2, acc + output_digest(out)), ()
+
+            (states, tracks, acc), _ = jax.lax.scan(
+                body, (states, tracks, jnp.zeros((), jnp.float32)),
+                (ji_t, jc_t))
+            planes = vfc(tracks)           # (R, K, H, W) at publish time
+            return states, tracks, acc + jnp.sum(planes), key
+
+        one_tr = trk7f.TrackState.create(tcfg7f)
+        holder7f = {"s": GridState.create_batch(cfg, args.rigs),
+                    "t": jax.tree_util.tree_map(
+                        lambda x: jnp.stack([x] * args.rigs), one_tr),
+                    "k": jax.device_put(jax.random.PRNGKey(3))}
+
+        def run7f():
+            holder7f["s"], holder7f["t"], acc, holder7f["k"] = \
+                forecast_chunk(eng.params, holder7f["s"], holder7f["t"],
+                               obs_b, eng.extrinsics, holder7f["k"])
+            return acc
+
+        results["tracked_forecast_fused_frames_per_sec"] = time_chunks(
+            run7f, unit_count=args.rigs * scan5)
+        log(f"config7f "
+            f"{results['tracked_forecast_fused_frames_per_sec']:.0f} "
+            "tracked+forecast fused frames/s (3 horizons @ publish "
+            "cadence)")
+
     # ---- config 6: shared world grid, scan-chained (VERDICT r2 #4) ------
     if want('6'):
         # 8 rigs -> ONE world grid; K=8 ticks per dispatch via

@@ -62,6 +62,7 @@ class Fleet:
         )
         self._compacted: Dict[int, Any] = {}
         self._tracked: Dict[Any, Any] = {}
+        self._forecast: Dict[Any, Any] = {}
 
     def _make_compacted(self, budget_per_rig: int):
         """The PRODUCTION compacted path (pipeline.fleet_step), mesh-
@@ -139,6 +140,27 @@ class Fleet:
                                                donate_argnums=(1, 2))
         return fn(self.params, states, tracks, obs_batch,
                   self.extrinsics, jnp.asarray(dt, jnp.float32))
+
+    def forecast(self, tracks, horizons, tcfg=None):
+        """Predictive occupancy per rig: ops/tracking.forecast_occupancy
+        vmapped over the rig axis, exported int8 0..100 on the same
+        raster as occupancy_i8 (probability x 100, the nav_msgs
+        convention). Called at PUBLISH cadence by `serve --forecast` —
+        its cost scales with consumers, not the tick rate. Returns
+        (R, K, H, W) int8 for K horizons (seconds)."""
+        from ..ops import tracking
+        tcfg = tcfg or tracking.TrackConfig()
+        key = (tuple(float(h) for h in horizons), tcfg)
+        fn = self._forecast.get(key)
+        if fn is None:
+            cfg = self.cfg
+
+            def one(tr):
+                p = tracking.forecast_occupancy(tr, key[0], cfg, tcfg)
+                return jnp.round(p * 100.0).astype(jnp.int8)
+
+            fn = self._forecast[key] = jax.jit(jax.vmap(one))
+        return fn(tracks)
 
     def _state_struct(self):
         return GridState.create(self.cfg)

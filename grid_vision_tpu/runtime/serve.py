@@ -124,7 +124,7 @@ class FleetServer:
                  mesh=None, shared: bool = False,
                  rig_extrinsics=None, chunk: int = 1,
                  track: bool = False, track_dt: float = 0.05,
-                 tcfg=None):
+                 tcfg=None, forecast_horizons=None):
         """shared=True runs as a FUSION HUB: all rigs' evidence merges
         into ONE world grid (parallel/shared_grid.py; rig_extrinsics is
         an optional list of per-rig Extrinsics placing each sensor in
@@ -141,7 +141,17 @@ class FleetServer:
         dispatch: each rig's session gains stable-id track markers
         (io/viz.track_markers) and the server accumulates tracker
         telemetry in .track_totals. track_dt is the inter-tick seconds
-        the velocity model assumes (pass 1/hz of the spin cadence)."""
+        the velocity model assumes (pass 1/hz of the spin cadence).
+
+        forecast_horizons (requires track=True): K horizon seconds,
+        e.g. (0.5, 1.0, 2.0). At every publish cadence each rig's
+        session additionally carries PREDICTIVE occupancy — where the
+        confirmed tracks will be at t + h (ops/tracking.
+        forecast_occupancy, int8 probability x 100 planes on the grid
+        raster; the 'forecast' session channel and the viewer's
+        /forecast.gvd stream). Calibration: tools/eval_forecast.py /
+        docs/QUALITY.md. The reference grid is purely reactive — no
+        counterpart."""
         self.name = name
         self.cfg = cfg
         self.n_rigs = n_rigs
@@ -182,6 +192,12 @@ class FleetServer:
                 self.tracks = self.fleet.init_tracks(self.tcfg)
                 self.track_totals = {"matched": 0, "spawned": 0,
                                      "killed": 0, "spawn_dropped": 0}
+        if forecast_horizons and not track:
+            raise ValueError("forecast_horizons requires track=True "
+                             "(forecasts project tracked velocities)")
+        self.forecast_horizons = (tuple(float(h) for h in
+                                        forecast_horizons)
+                                  if forecast_horizons else None)
         self._img_boxes = [_image_box(name, r, cfg, create=True)
                            for r in range(n_rigs)]
         self._cloud_boxes = [_cloud_box(name, r, cfg, create=True)
@@ -293,8 +309,14 @@ class FleetServer:
                 self.saturation_totals[k] += int(
                     np.sum(getattr(outs.saturation, k)))
             host_tracks = None
+            forecast_b = None
             if self.track:
                 from ..io.viz import track_markers
+                if self.forecast_horizons:
+                    # one fleet-wide dispatch at publish cadence; the
+                    # device_get rides the same sync as the outs fetch
+                    forecast_b = np.asarray(self.fleet.forecast(
+                        self.tracks, self.forecast_horizons, self.tcfg))
                 host_tracks = jax.device_get(self.tracks)
                 tstats = jax.device_get(tstats)
                 for k in self.track_totals:
@@ -307,9 +329,12 @@ class FleetServer:
                     tr_r = jax.tree_util.tree_map(lambda a: a[r],
                                                   host_tracks)
                     extra = track_markers(tr_r, self.tcfg)
-                self._pubs[r].publish(i, out_r,
-                                      image=self._last_images[r],
-                                      extra_markers=extra)
+                self._pubs[r].publish(
+                    i, out_r, image=self._last_images[r],
+                    extra_markers=extra,
+                    forecast=(None if forecast_b is None
+                              else forecast_b[r]),
+                    horizons=self.forecast_horizons)
 
     def spin(self, steps: Optional[int] = None, hz: float = 20.0,
              stop: Optional[threading.Event] = None) -> int:
@@ -406,6 +431,11 @@ def main(argv=None):
                     help="fleet mode: run the per-rig multi-object "
                          "tracker in the same dispatch; sessions gain "
                          "stable-id track markers")
+    ap.add_argument("--forecast", default=None, metavar="H1,H2,...",
+                    help="with --track: publish predictive occupancy "
+                         "at these horizons (seconds, e.g. 0.5,1,2) on "
+                         "each rig's 'forecast' channel and the "
+                         "viewer's /forecast.gvd stream")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -429,10 +459,13 @@ def main(argv=None):
             w["vision_weights_file"] = "weights/orientation.npz"
         if w:
             cfg = dataclasses.replace(cfg, **w)
+    horizons = (tuple(float(h) for h in args.forecast.split(","))
+                if args.forecast else None)
     server = FleetServer(args.name, cfg, args.rigs,
                          publish_every=args.publish_every,
                          shared=args.shared, chunk=args.chunk,
-                         track=args.track, track_dt=1.0 / args.hz)
+                         track=args.track, track_dt=1.0 / args.hz,
+                         forecast_horizons=horizons)
     stop = threading.Event()
     if args.selftest:
         selftest_producers(args.name, cfg, args.rigs, args.hz, stop)

@@ -15,6 +15,10 @@ Channels (latest-wins; a slow viewer never backpressures the engine):
     grid     <iiqQ>(rows, cols, step, stamp_ns) + int8 occupancy cells
     markers  JSON {"step", "stamp_ns", "markers": [...]} (io/viz dicts)
     overlay  <iiqQ>(h, w, step, stamp_ns) + rgb8 bytes (detection overlay)
+    forecast <iiiqQ>(K, rows, cols, step, stamp_ns) + f32 horizons[K] +
+             int8 predicted-occupancy planes (probability x 100 at
+             t + horizon[k]; serve --track --forecast, no reference
+             counterpart — the reference grid is purely reactive)
 """
 
 from __future__ import annotations
@@ -31,10 +35,12 @@ from ..types import StepOutput
 from . import native
 
 _HDR = struct.Struct("<iiqQ")
+_F_HDR = struct.Struct("<iiiqQ")   # K, rows, cols, step, stamp_ns
 
 GRID_CHANNEL = "grid"
 MARKERS_CHANNEL = "markers"
 OVERLAY_CHANNEL = "overlay"
+FORECAST_CHANNEL = "forecast"
 
 
 def _encode_array(arr: np.ndarray, step: int, stamp_ns: int) -> bytes:
@@ -52,6 +58,23 @@ def _decode_overlay(data: bytes):
     h, w, step, stamp = _HDR.unpack_from(data)
     img = np.frombuffer(data, np.uint8, offset=_HDR.size).reshape(h, w, 3)
     return img, step, stamp
+
+
+def _encode_forecast(planes: np.ndarray, horizons, step: int,
+                     stamp_ns: int) -> bytes:
+    k, r, c = planes.shape
+    return (_F_HDR.pack(k, r, c, step, stamp_ns)
+            + np.asarray(horizons, np.float32).tobytes()
+            + np.ascontiguousarray(planes, np.int8).tobytes())
+
+
+def _decode_forecast(data: bytes):
+    k, r, c, step, stamp = _F_HDR.unpack_from(data)
+    o = _F_HDR.size
+    horizons = np.frombuffer(data, np.float32, k, o)
+    planes = np.frombuffer(data, np.int8, k * r * c,
+                           o + 4 * k).reshape(k, r, c)
+    return planes, horizons, step, stamp
 
 
 class SessionPublisher:
@@ -87,13 +110,31 @@ class SessionPublisher:
             self._overlay_box = native.ShmMailbox(
                 native.shm_path(session, OVERLAY_CHANNEL),
                 capacity=_HDR.size + h * w * 3, create=True)
+        self._forecast_box = None
+        self._grid_cells = gx * gy
 
     def publish(self, step: int, out: StepOutput,
                 image: Optional[np.ndarray] = None,
                 stamp_ns: int = 0,
-                extra_markers: Optional[List[dict]] = None) -> None:
+                extra_markers: Optional[List[dict]] = None,
+                forecast: Optional[np.ndarray] = None,
+                horizons=None) -> None:
+        """forecast: optional (K, rows, cols) int8 predicted-occupancy
+        planes for the K `horizons` (seconds) — published on the
+        forecast channel (mailbox created lazily on first use so
+        non-forecasting sessions carry no extra shm)."""
         grid = np.asarray(out.occupancy_i8, np.int8)
         self._grid_box.write(_encode_array(grid, step, stamp_ns), stamp_ns)
+        if forecast is not None:
+            planes = np.asarray(forecast, np.int8)
+            if self._forecast_box is None:
+                self._forecast_box = native.ShmMailbox(
+                    native.shm_path(self.session, FORECAST_CHANNEL),
+                    capacity=(_F_HDR.size + 4 * planes.shape[0]
+                              + planes.size), create=True)
+            self._forecast_box.write(
+                _encode_forecast(planes, horizons, step, stamp_ns),
+                stamp_ns)
         markers = viz.markers_from_output(out)
         if extra_markers:
             markers = markers + list(extra_markers)
@@ -110,27 +151,32 @@ class SessionPublisher:
     def close(self) -> None:
         self._grid_box.close()
         self._markers_box.close()
-        if self._overlay_box is not None:
-            self._overlay_box.close()
+        for b in (self._overlay_box, self._forecast_box):
+            if b is not None:
+                b.close()
 
     def unlink(self) -> None:
         self._grid_box.unlink()
         self._markers_box.unlink()
-        if self._overlay_box is not None:
-            self._overlay_box.unlink()
+        for b in (self._overlay_box, self._forecast_box):
+            if b is not None:
+                b.unlink()
 
 
 class SessionFrame:
     """One coherent viewer poll result."""
 
     def __init__(self, grid=None, step=0, stamp_ns=0, markers=None,
-                 overlay=None, grid_meta=None):
+                 overlay=None, grid_meta=None, forecast=None,
+                 horizons=None):
         self.grid = grid
         self.step = step
         self.stamp_ns = stamp_ns
         self.markers: List[dict] = markers or []
         self.overlay = overlay
         self.grid_meta: Optional[dict] = grid_meta
+        self.forecast = forecast        # (K, rows, cols) int8 or None
+        self.horizons = horizons        # (K,) float32 seconds or None
 
 
 class SessionSubscriber:
@@ -144,6 +190,7 @@ class SessionSubscriber:
             native.shm_path(session, GRID_CHANNEL))
         self._markers_box = self._try_open(MARKERS_CHANNEL)
         self._overlay_box = self._try_open(OVERLAY_CHANNEL)
+        self._forecast_box = self._try_open(FORECAST_CHANNEL)
         self._grid_seq = 0
 
     def _try_open(self, channel: str):
@@ -176,10 +223,20 @@ class SessionSubscriber:
             o = self._overlay_box.read()
             if o is not None:
                 frame.overlay = _decode_overlay(o[0])[0]
+        if self._forecast_box is None:
+            # the publisher creates this mailbox lazily on its first
+            # forecast publish — retry the attach on every poll
+            self._forecast_box = self._try_open(FORECAST_CHANNEL)
+        if self._forecast_box is not None:
+            fc = self._forecast_box.read()
+            if fc is not None:
+                planes, horizons, _s, _t = _decode_forecast(fc[0])
+                frame.forecast, frame.horizons = planes, horizons
         return frame
 
     def close(self) -> None:
         self._grid_box.close()
-        for b in (self._markers_box, self._overlay_box):
+        for b in (self._markers_box, self._overlay_box,
+                  self._forecast_box):
             if b is not None:
                 b.close()

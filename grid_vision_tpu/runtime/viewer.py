@@ -294,10 +294,16 @@ def http_view(session: str, port: int, max_seconds: Optional[float] = None,
                         time.sleep(1.0 / fps)
                 finally:
                     sub.close()
-            elif self.path == "/grid.gvd":
-                # machine-consumer stream: length-prefixed codec records
+            elif self.path in ("/grid.gvd", "/forecast.gvd"):
+                # machine-consumer streams: length-prefixed codec
+                # records. /forecast.gvd delta-encodes the K predicted-
+                # occupancy planes stacked vertically as ONE
+                # (K*rows, cols) int8 image (the codec is shape-agnostic;
+                # a subscriber recovers K from rows % grid rows == 0 or
+                # out-of-band via /markers.json grid_meta).
                 from ..io import grid_codec
 
+                want_forecast = self.path == "/forecast.gvd"
                 self.send_response(200)
                 self.send_header("Content-Type",
                                  "application/x-gvd-stream")
@@ -312,7 +318,15 @@ def http_view(session: str, port: int, max_seconds: Optional[float] = None,
                         if frame is None:
                             time.sleep(1.0 / (4 * fps))
                             continue
-                        rec = enc.encode(frame.grid, step=frame.step,
+                        if want_forecast:
+                            if frame.forecast is None:
+                                time.sleep(1.0 / (4 * fps))
+                                continue
+                            k, r, c = frame.forecast.shape
+                            payload = frame.forecast.reshape(k * r, c)
+                        else:
+                            payload = frame.grid
+                        rec = enc.encode(payload, step=frame.step,
                                          stamp_ns=frame.stamp_ns)
                         self.wfile.write(
                             grid_codec._RECLEN.pack(len(rec)) + rec)
@@ -364,23 +378,27 @@ def http_view(session: str, port: int, max_seconds: Optional[float] = None,
 
 
 def gvd_client(host: str, port: int, max_records: Optional[int] = None,
-               timeout: float = 10.0):
-    """Consume a /grid.gvd stream: yields (grid_i8, step, stamp_ns).
+               timeout: float = 10.0, path: str = "/grid.gvd"):
+    """Consume a /grid.gvd-style stream: yields (grid_i8, step, stamp_ns).
 
     The remote-subscriber counterpart of the reference's nav_msgs
     OccupancyGrid subscription — same decoded content, delivered as
     keyframe + sparse-delta records (io/grid_codec.py) so a 10 Hz
-    consumer costs ~kB/s instead of ~MB/s of wire."""
+    consumer costs ~kB/s instead of ~MB/s of wire.
+
+    path="/forecast.gvd" consumes the predictive-occupancy stream
+    instead: each record decodes to the (K*rows, cols) stack of the K
+    horizon planes (reshape with the grid rows from grid_meta)."""
     import http.client
 
     from ..io import grid_codec
 
     conn = http.client.HTTPConnection(host, port, timeout=timeout)
-    conn.request("GET", "/grid.gvd")
+    conn.request("GET", path)
     resp = conn.getresponse()
     if resp.status != 200:
         conn.close()
-        raise ConnectionError(f"/grid.gvd -> HTTP {resp.status}")
+        raise ConnectionError(f"{path} -> HTTP {resp.status}")
     dec = grid_codec.GridDeltaDecoder()
     n = 0
     try:

@@ -161,6 +161,14 @@ class SimFrames:
     dt: float
 
 
+# camera (x right, y down, z forward) -> base (x forward, y left, z up):
+# the frame the tracker's 3D state and the grid raster live in (the
+# same rotation demo.default_extrinsics uses)
+_R_CB = np.array([[0.0, 0.0, 1.0],
+                  [-1.0, 0.0, 0.0],
+                  [0.0, -1.0, 0.0]], np.float32)
+
+
 def _project_box(p: np.ndarray, size, cfg: GridVisionConfig
                  ) -> Optional[np.ndarray]:
     """Base==camera frame here (identity extrinsics): x right, y down,
@@ -228,13 +236,14 @@ def simulate(objs: List[SimObject], cfg: GridVisionConfig,
         for i, o in enumerate(objs):
             if not (o.t_spawn <= t < o.t_kill):
                 continue
-            p = o.p0 + o.v * ((t - o.t_spawn) * dt)
+            p = o.p0 + o.v * ((t - o.t_spawn) * dt)   # camera frame
             bb = _project_box(p, o.size, cfg)
             if bb is None:
                 continue
             f.gt_xyxy[t, i] = bb
-            f.gt_pos[t, i] = p
-            f.gt_vel[t, i] = o.v
+            # 3D state (tracker + grid) lives in the BASE frame
+            f.gt_pos[t, i] = _R_CB @ p
+            f.gt_vel[t, i] = _R_CB @ o.v
             f.gt_alive[t, i] = True
             boxes.append(bb)
             idxs.append(i)
@@ -277,7 +286,8 @@ def simulate(objs: List[SimObject], cfg: GridVisionConfig,
                 np.array([u, v, u + rng.uniform(40, 100),
                           v + rng.uniform(30, 80)], np.float32),
                 float(rng.uniform(0.6, 0.8)), 9,
-                np.array([(u - cfg.cx) * z / cfg.fx, 1.2, z], np.float32),
+                _R_CB @ np.array([(u - cfg.cx) * z / cfg.fx, 1.2, z],
+                                 np.float32),
                 -1))
 
         entries.sort(key=lambda e: -e[1])      # post-NMS confidence order
@@ -469,3 +479,155 @@ def evaluate(seeds=(0, 1, 2, 3), n_frames: int = 250,
     agg["scenarios"] = len(rows)
     agg["per_scenario"] = rows
     return agg
+
+
+# ---------------------------------------------------------------------------
+# predictive-occupancy calibration (forecast_occupancy vs realized)
+# ---------------------------------------------------------------------------
+
+def _tracks_from_snapshot(snaps: Dict[str, np.ndarray], t: int,
+                          tcfg: tracking.TrackConfig
+                          ) -> tracking.TrackState:
+    """Rebuild a TrackState (the fields forecast_occupancy consumes)
+    from a run_tracker frame snapshot."""
+    cap = snaps["id"].shape[1]
+    conf = snaps["confirmed"][t]
+    z = jnp.zeros((cap,), jnp.float32)
+    zi = jnp.zeros((cap,), jnp.int32)
+    return tracking.TrackState(
+        xyxy=jnp.asarray(snaps["xyxy"][t]),
+        vel_px=jnp.zeros((cap, 4), jnp.float32),
+        position=jnp.asarray(snaps["position"][t]),
+        velocity=jnp.asarray(snaps["velocity"][t]),
+        quat=jnp.asarray(snaps["quat"][t]),
+        length=jnp.asarray(snaps["length"][t]),
+        width=jnp.asarray(snaps["width"][t]),
+        height=z, label=zi, confidence=z,
+        id=jnp.asarray(snaps["id"][t]),
+        # confirmed() must reproduce the snapshot's confirmed mask
+        hits=jnp.where(jnp.asarray(conf), tcfg.min_hits, 0
+                       ).astype(jnp.int32),
+        misses=zi, age=zi,
+        valid=jnp.asarray(conf),
+        has_pose=jnp.asarray(snaps["has_pose"][t]),
+        next_id=jnp.zeros((), jnp.int32))
+
+
+def _realized_occupancy(f: SimFrames, cfg: GridVisionConfig, t: int
+                        ) -> np.ndarray:
+    """(H, W) bool GT footprint cover at frame t, on the SAME raster and
+    footprint model as forecast_occupancy (horizon-0 forecast of exact
+    GT state with a near-delta spread — guarantees geometry identity)."""
+    g = f.gt_alive.shape[1]
+    alive = f.gt_alive[t]
+    quat = np.zeros((g, 4), np.float32)
+    quat[:, 3] = 1.0
+    z = jnp.zeros((g,), jnp.float32)
+    zi = jnp.zeros((g,), jnp.int32)
+    gt_tracks = tracking.TrackState(
+        xyxy=jnp.zeros((g, 4), jnp.float32),
+        vel_px=jnp.zeros((g, 4), jnp.float32),
+        position=jnp.asarray(f.gt_pos[t]),
+        velocity=jnp.asarray(f.gt_vel[t]),
+        quat=jnp.asarray(quat),
+        length=jnp.asarray(f.sizes[:, 2]),
+        width=jnp.asarray(f.sizes[:, 0]),
+        height=z, label=zi, confidence=z,
+        id=zi, hits=jnp.full((g,), 2, jnp.int32), misses=zi, age=zi,
+        valid=jnp.asarray(alive), has_pose=jnp.asarray(alive),
+        next_id=jnp.zeros((), jnp.int32))
+    p = tracking.forecast_occupancy(
+        gt_tracks, (0.0,), cfg, tracking.TrackConfig(min_hits=1),
+        spread_base=0.02, spread_rate=0.0)
+    return np.asarray(p[0]) > 0.5
+
+
+def forecast_calibration(f: SimFrames, snaps: Dict[str, np.ndarray],
+                         cfg: GridVisionConfig,
+                         tcfg: tracking.TrackConfig,
+                         horizons=(0.5, 1.0, 2.0), stride: int = 5,
+                         warmup: int = 20) -> Dict[str, dict]:
+    """Score forecast_occupancy against REALIZED future occupancy.
+
+    For sampled frames t, the tracker's forecast at t for t+h is
+    compared with the ground-truth footprint cover at t+h:
+      - brier: mean squared error of the per-cell probability,
+      - brier_persistence: the no-motion baseline (current realized
+        occupancy persists) — `skill` = 1 - brier/brier_persistence
+        (positive = the velocity model beats assuming nothing moves),
+      - reliability: mean predicted probability vs empirical frequency
+        in prediction bins (calibration table),
+      - hit_rate / false_rate at p>0.5.
+    """
+    horizons = tuple(float(h) for h in horizons)
+    fc = jax.jit(functools.partial(
+        tracking.forecast_occupancy, horizons=horizons, cfg=cfg,
+        tcfg=tcfg))
+
+    def fc_persist(tr):
+        # persistence baseline: the SAME tracker state and spread model
+        # with the velocity zeroed — isolates exactly what the velocity
+        # term buys (a GT-based baseline would smuggle in the tracker's
+        # position error and make the comparison unfair both ways)
+        return fc(dataclasses.replace(
+            tr, velocity=jnp.zeros_like(tr.velocity)))
+    T = f.gt_alive.shape[0]
+    max_hf = int(round(max(horizons) / f.dt))
+    bins = np.linspace(0.0, 1.0, 11)
+    out = {h: {"sq": 0.0, "sq_persist": 0.0, "n": 0,
+               "bin_p": np.zeros(10), "bin_o": np.zeros(10),
+               "bin_n": np.zeros(10),
+               "tp": 0, "fp": 0, "fn": 0}
+           for h in horizons}
+    realized_cache: Dict[int, np.ndarray] = {}
+
+    def realized(t):
+        if t not in realized_cache:
+            realized_cache[t] = _realized_occupancy(f, cfg, t)
+        return realized_cache[t]
+
+    for t in range(warmup, T - max_hf, stride):
+        tracks_t = _tracks_from_snapshot(snaps, t, tcfg)
+        pred = np.asarray(fc(tracks_t))              # (K, H, W)
+        pred_persist = np.asarray(fc_persist(tracks_t))
+        for k, h in enumerate(horizons):
+            hf = int(round(h / f.dt))
+            obs = realized(t + hf).astype(np.float32)
+            p = pred[k]
+            o = out[h]
+            o["sq"] += float(((p - obs) ** 2).sum())
+            o["sq_persist"] += float(
+                ((pred_persist[k] - obs) ** 2).sum())
+            o["n"] += obs.size
+            bi = np.clip(np.digitize(p, bins) - 1, 0, 9)
+            for b in range(10):
+                m = bi == b
+                o["bin_n"][b] += m.sum()
+                o["bin_p"][b] += p[m].sum()
+                o["bin_o"][b] += obs[m].sum()
+            hard = p > 0.5
+            o["tp"] += int((hard & (obs > 0.5)).sum())
+            o["fp"] += int((hard & (obs <= 0.5)).sum())
+            o["fn"] += int((~hard & (obs > 0.5)).sum())
+
+    report = {}
+    for h, o in out.items():
+        brier = o["sq"] / max(o["n"], 1)
+        brier_p = o["sq_persist"] / max(o["n"], 1)
+        nz = o["bin_n"] > 0
+        report[h] = {
+            "brier": brier,
+            "brier_persistence": brier_p,
+            "skill_vs_persistence": float(1.0 - brier / brier_p)
+            if brier_p > 0 else 0.0,
+            "reliability": [
+                {"bin": f"{bins[b]:.1f}-{bins[b + 1]:.1f}",
+                 "mean_pred": float(o["bin_p"][b] / o["bin_n"][b]),
+                 "empirical": float(o["bin_o"][b] / o["bin_n"][b]),
+                 "n_cells": int(o["bin_n"][b])}
+                for b in range(10) if nz[b]],
+            "hit_rate": float(o["tp"] / max(o["tp"] + o["fn"], 1)),
+            "precision": float(o["tp"] / max(o["tp"] + o["fp"], 1)),
+            "frames_scored": int(o["n"] // (np.prod(cfg.grid_size))),
+        }
+    return report

@@ -248,3 +248,46 @@ def test_fleet_server_track_requires_fleet_mode():
     with pytest.raises(ValueError):
         FleetServer("gvtest-serve-trk2", cfg, n_rigs=2, mesh=_mesh2(),
                     shared=True, track=True)
+
+
+def test_fleet_server_forecast_channel():
+    """serve --track --forecast: each rig's session gains the forecast
+    channel with K int8 probability planes on the grid raster (wiring
+    test; calibration quality is tests/test_tracking.py +
+    train/eval_tracking.forecast_calibration)."""
+    from grid_vision_tpu.runtime.session import (FORECAST_CHANNEL,
+                                                 _decode_forecast)
+
+    cfg = small_cfg()
+    name = "gvtest-serve-fc"
+    horizons = (0.5, 1.5)
+    server = FleetServer(name, cfg, n_rigs=2, mesh=_mesh2(),
+                         track=True, track_dt=0.05,
+                         forecast_horizons=horizons)
+    stop = threading.Event()
+    try:
+        selftest_producers(name, cfg, 2, hz=20.0, stop=stop)
+        time.sleep(0.3)
+        server.spin(steps=3, hz=50.0)
+        for r in range(2):
+            box = native.ShmMailbox(
+                native.shm_path(rig_session(name, r), FORECAST_CHANNEL))
+            frame = box.read()
+            box.close()
+            assert frame is not None, f"rig {r} published no forecast"
+            planes, got_h, step, _ = _decode_forecast(frame[0])
+            assert planes.shape == (2,) + cfg.grid_size
+            np.testing.assert_allclose(got_h, horizons)
+            assert (planes >= 0).all() and (planes <= 100).all()
+    finally:
+        stop.set()
+        server.close()
+
+
+def test_fleet_server_forecast_requires_track():
+    import pytest
+
+    cfg = small_cfg()
+    with pytest.raises(ValueError):
+        FleetServer("gvtest-serve-fc2", cfg, n_rigs=2, mesh=_mesh2(),
+                    forecast_horizons=(1.0,))

@@ -65,3 +65,55 @@ def test_http_view_serves_index_and_grid_png():
     finally:
         pub.unlink()
         pub.close()
+
+
+def test_forecast_gvd_stream_roundtrip():
+    """/forecast.gvd streams the K predicted-occupancy planes as one
+    (K*rows, cols) delta-coded image; gvd_client decodes it exactly."""
+    import os
+
+    import numpy as np
+
+    cfg = GridVisionConfig(grid_x=24, grid_y=12, resolution=0.25,
+                           camera_image_height=32, camera_image_width=32,
+                           fx=16.0, fy=16.0, cx=16.0, cy=16.0,
+                           max_points=64)
+    session = "gvtest-http-fc"
+    pub = SessionPublisher(session, cfg, overlay=False)
+    rng = np.random.default_rng(0)
+    k = 2
+    planes = rng.integers(0, 101, (k,) + cfg.grid_size).astype(np.int8)
+
+    from grid_vision_tpu.runtime import viewer
+    port = 19000 + (os.getpid() + 77) % 10000
+    th = threading.Thread(
+        target=viewer.http_view, args=(session, port),
+        kwargs={"max_seconds": 14.0}, daemon=True)
+    th.start()
+    time.sleep(1.0)
+
+    stop = threading.Event()
+
+    def feed():
+        i = 0
+        while not stop.is_set():
+            pub.publish(i, _fake_output(cfg), forecast=planes,
+                        horizons=(0.5, 1.0))
+            i += 1
+            time.sleep(0.05)
+
+    feeder = threading.Thread(target=feed, daemon=True)
+    feeder.start()
+    try:
+        got = list(viewer.gvd_client("127.0.0.1", port, max_records=2,
+                                     path="/forecast.gvd"))
+        assert len(got) == 2
+        grid, _step, _stamp = got[0]
+        assert grid.shape == (k * cfg.grid_size[0], cfg.grid_size[1])
+        np.testing.assert_array_equal(
+            grid.reshape(k, *cfg.grid_size), planes)
+    finally:
+        stop.set()
+        feeder.join(timeout=2)
+        pub.unlink()
+        pub.close()

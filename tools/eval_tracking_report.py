@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--frames", type=int, default=250)
     ap.add_argument("--sweep-misses", action="store_true",
                     help="also sweep max_misses (the coast-length A/B)")
+    ap.add_argument("--forecast", action="store_true",
+                    help="also run the predictive-occupancy "
+                         "calibration (forecast vs realized future "
+                         "occupancy; docs/QUALITY.md forecast table)")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +67,36 @@ def main():
                   f"{sweep[mm]['id_switches']}",
                   file=sys.stderr, flush=True)
         report["max_misses_sweep"] = sweep
+
+    if args.forecast:
+        import numpy as np
+        rows = {}
+        for seed in seeds[:2]:
+            objs = et.make_crossing_scenario(seed, args.frames)
+            f = et.simulate(objs, cfg, args.frames, seed=seed)
+            snaps = et.run_tracker(f, cfg, TrackConfig())
+            cal = et.forecast_calibration(f, snaps, cfg, TrackConfig(),
+                                          stride=5)
+            for h, r in cal.items():
+                rows.setdefault(h, []).append(r)
+        report["forecast_calibration"] = {
+            str(h): {
+                "brier": float(np.mean([r["brier"] for r in rs])),
+                "brier_persistence": float(np.mean(
+                    [r["brier_persistence"] for r in rs])),
+                "skill_vs_persistence": float(np.mean(
+                    [r["skill_vs_persistence"] for r in rs])),
+                "hit_rate": float(np.mean([r["hit_rate"] for r in rs])),
+                "precision": float(np.mean(
+                    [r["precision"] for r in rs])),
+                "reliability_seed0": rs[0]["reliability"],
+            } for h, rs in rows.items()}
+        for h, r in report["forecast_calibration"].items():
+            print(f"[forecast h={h}] brier {r['brier']:.4f} vs "
+                  f"persist {r['brier_persistence']:.4f} "
+                  f"(skill {r['skill_vs_persistence']:+.3f})  hit "
+                  f"{r['hit_rate']:.2f}  prec {r['precision']:.2f}",
+                  file=sys.stderr, flush=True)
 
     print(json.dumps(report))
 
