@@ -221,13 +221,14 @@ def main():
     # max_detections for reference parity). The scene pool's static
     # population never exceeds it (static_depth_clamped stays 0).
     #
-    # orientation_compute="float32": the orientation BRANCH (crops + net
-    # + MultiBin solve) runs f32 while the detector keeps bf16 — the
-    # round-4 parity fix (PARITY.json): solver position is the one
-    # quantity the grid footprint is cell-scale sensitive to, and the
-    # MXU passes are bf16-multiply either way, so only activation HBM
-    # traffic changes. GV_BENCH_ORIENT_DTYPE=follow measures all-bf16.
-    odtype = os.environ.get("GV_BENCH_ORIENT_DTYPE", "float32")
+    # orientation_compute stays "follow" (all-bf16): pinning the
+    # orientation branch to f32 was hypothesized to recover vision-mode
+    # e2e grid agreement, but the interleaved A/B measured -7.3%
+    # (5561 -> 5155 fps) for NO parity gain — the bf16-vs-f32 grid gap
+    # is driven by detector box jitter through the monocular MultiBin
+    # depth, not by orientation-net precision (PARITY.json; the PCA
+    # mode, whose depth comes from the cloud, passes 99% end-to-end).
+    odtype = os.environ.get("GV_BENCH_ORIENT_DTYPE", "follow")
     cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16",
                            knn_backend=knn, detector_stem_backend=stem,
                            max_static_depth=16, orientation_compute=odtype,

@@ -8,13 +8,18 @@ Configs measured (BASELINE.json "configs"):
   3. full fusion (detect + associate + orientation + grid)
   4. streaming 10 Hz sequence with temporal decay (achieved Hz, 1 rig)
   5. batched rigs, full fusion (the headline fused frames/s)
-  5b. compat-grade line: float32 + exact kNN + compat=True (the config
-      the parity evidence attaches to)
+  5b. compat-grade line: float32 + exact full-capacity kNN +
+      compat=True at FLEET throughput (budget-degenerate fleet_step +
+      the rounding-equal Pallas stem — every piece proven result-
+      identical to vmap(step); the config the parity evidence
+      attaches to)
   6. shared world grid (8 rigs -> 1 grid), K=8 scan-chained ticks per
      dispatch (SharedGrid.call_chunk)
   7. tracked fleet: config 5's production path + the per-rig multi-
      object tracker (ops/tracking.py) in the same scan — measures the
      tracker's marginal cost on the headline path
+  7f. config 7 + predictive-occupancy forecast at publish cadence
+      (serve --track --forecast marginal cost)
 
 The headline single-line bench for the driver stays in bench.py; this
 suite writes a JSON dict of all metrics for profiling across rounds.
@@ -49,7 +54,7 @@ def log(msg):
 
 
 def time_chunks(fn, *args, n_warm=1, budget_s=45.0, unit_count=1,
-                groups=4):
+                groups=4, spread=None):
     """Run fn repeatedly; return units/sec with readback sync.
 
     Timed in `groups` windows with a readback each, reporting the
@@ -57,7 +62,11 @@ def time_chunks(fn, *args, n_warm=1, budget_s=45.0, unit_count=1,
     degrades 3-20x for tens of seconds (same build measured config1 at
     3 017 and 941 scans/s back to back), and a single window silently
     records the stall instead of the engine (same methodology as
-    bench.py's median-of-groups)."""
+    bench.py's median-of-groups).
+
+    spread: optional list — receives every kept window's rate, so
+    single-dispatch rows (latency configs 2/3) can record their
+    min/median/max alongside the median (VERDICT r3 weak #2)."""
     import numpy as np
 
     out = None
@@ -95,6 +104,8 @@ def time_chunks(fn, *args, n_warm=1, budget_s=45.0, unit_count=1,
         # every window was swallowed by the sync estimate; fall back to
         # the raw (sync-inclusive) rate of the last window
         rates = [unit_count * count / max(time.perf_counter() - t0, 1e-9)]
+    if spread is not None:
+        spread.extend(rates)
     return float(np.median(rates))
 
 
@@ -104,8 +115,9 @@ def main():
     ap.add_argument("--out", default="BENCH_DETAIL.json")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--only", default=None,
-                    help="comma list of configs to run (1,2,3,4,5,5b,6);"
-                         " results merge into --out instead of replacing")
+                    help="comma list of configs to run "
+                         "(1,2,3,4,5,5b,6,7,7f); results merge into "
+                         "--out instead of replacing")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -191,10 +203,16 @@ def main():
             img = img + jax.random.uniform(key, (), jnp.float32, -1, 1)
             return pipeline.detect(params, img, cfg).xyxy
 
-        fps2 = time_chunks(lambda: detect_nms(eng.params, obs1.image, k))
+        win2 = []
+        fps2 = time_chunks(lambda: detect_nms(eng.params, obs1.image, k),
+                           groups=8, spread=win2)
         results["detect_nms_single_fps"] = fps2
         results["detect_nms_single_latency_ms"] = 1e3 / max(fps2, 1e-9)
-        log(f"config2 {fps2:.0f} img/s")
+        # window spread (VERDICT r3 weak #2: latency rows get the same
+        # median-of-windows treatment + recorded spread as throughput)
+        results["detect_nms_single_latency_ms_spread"] = [
+            round(1e3 / r, 3) for r in sorted(win2, reverse=True)]
+        log(f"config2 {fps2:.0f} img/s over {len(win2)} windows")
 
     # ---- config 3: full fusion single rig -------------------------------
     if want('3'):
@@ -206,8 +224,13 @@ def main():
             state1, _ = step(eng.params, state1, obs1, eng.extrinsics)
             return state1.log_odds
 
-        results["full_fusion_single_fps"] = time_chunks(run3)
-        log(f"config3 {results['full_fusion_single_fps']:.0f} fps")
+        win3 = []
+        results["full_fusion_single_fps"] = time_chunks(run3, groups=8,
+                                                        spread=win3)
+        results["full_fusion_single_fps_spread"] = [
+            round(r, 1) for r in sorted(win3)]
+        log(f"config3 {results['full_fusion_single_fps']:.0f} fps over "
+            f"{len(win3)} windows")
 
     # ---- config 4: streaming achieved Hz (host-paced ingest) ------------
     if want('4'):
@@ -241,6 +264,26 @@ def main():
         res_c = replay_ring(eng4b, scene_b, n_steps=400, chunk=8)
         results["streaming_ingest_hz"] = res_c.achieved_hz
         log(f"config4c {res_c.achieved_hz:.1f} Hz (pre-packed ring ingest)")
+
+        # config 4d: per-frame ROI-DELTA wire (round 4, VERDICT r3 weak
+        # #6): one dispatch per frame (realtime latency, unlike 4b/4c's
+        # K-frame chunks), ~4x fewer image bytes per delta record; f16
+        # cloud. Exact vs the full per-frame path
+        # (tests/test_packed_obs.py::test_replay_delta_matches_per_frame).
+        from grid_vision_tpu.runtime.stream import replay_delta
+        cfg4d = dataclasses.replace(cfg, wire_cloud_dtype="float16")
+        eng4d = pipeline.Engine(cfg4d, extrinsics=default_extrinsics(),
+                                seed=0)
+        scene_d = SyntheticScene(cfg4d, seed=0)
+        scene_d.add_default_traffic()
+        replay_delta(eng4d, scene_d, n_steps=8)   # compile both kinds
+        res_d = replay_delta(eng4d, scene_d, n_steps=400)
+        enc_d = res_d.delta_encoder
+        results["streaming_delta_hz"] = res_d.achieved_hz
+        results["streaming_delta_keyframe_frac"] = (
+            enc_d.keyframes / max(enc_d.keyframes + enc_d.deltas, 1))
+        log(f"config4d {res_d.achieved_hz:.1f} Hz (per-frame ROI-delta "
+            f"wire; {enc_d.keyframes} key / {enc_d.deltas} delta)")
 
     # rig observation pool, shared by configs 5, 5b and 7
     if want('5') or want('5b') or want('7'):
@@ -310,17 +353,32 @@ def main():
             run5, unit_count=args.rigs * scan5)
         log(f"config5 {results['fused_frames_per_sec']:.0f} fused frames/s")
 
-    # ---- config 5b: compat-grade line (VERDICT r2 #5) -------------------
+    # ---- config 5b: compat-grade line (VERDICT r2 #5, reworked r4) ------
     if want('5b'):
-        # Exact kNN (knn_backend="xla"), float32 compute, compat=True — the
-        # configuration whose outputs the parity evidence (tools/
-        # parity_report.py, oracle tests) attaches to. Slower than the bf16
-        # fast path by design; recorded so throughput claims exist for
-        # reference-exact semantics too.
-        ccfg5 = GridVisionConfig(max_points=8192, compute_dtype="float32")
+        # Reference-EXACT semantics at fleet throughput (VERDICT r3
+        # weak #1b). Every component is individually proven result-
+        # identical to the compat vmap(step) chain:
+        #   - float32 compute, compat=True, exact kNN at FULL capacity
+        #     (max_static_depth default == max_detections — the round-3
+        #     line still compacted to 16; this one computes the median
+        #     depth for every static box like the reference);
+        #   - pipeline.fleet_step with orientation_budget = rigs *
+        #     max_orientation_batch (Q7 clamp of 8/rig): the budget
+        #     top-k keeps EVERY per-rig slot, so the path degenerates
+        #     to exact vmap(step) (tests/test_fleet_compaction.py) —
+        #     while dispatching the detector UN-vmapped, which is what
+        #     lets the fused Pallas stem run;
+        #   - the Pallas resize+stem kernel is float-rounding-EQUAL to
+        #     the XLA stem (tests/test_pallas_stem.py), so f32 results
+        #     are bit-identical.
+        ccfg5 = GridVisionConfig(
+            max_points=8192, compute_dtype="float32",
+            detector_stem_backend=os.environ.get("GV_BENCH_STEM",
+                                                 "pallas"))
         eng5 = pipeline.Engine(ccfg5, seed=0)
-        vstep_c = jax.vmap(functools.partial(pipeline.step, cfg=ccfg5),
-                           in_axes=(None, 0, 0, None))
+        budget5b = args.rigs * ccfg5.max_orientation_batch
+        fstep_c = functools.partial(pipeline.fleet_step, cfg=ccfg5,
+                                    orientation_budget=budget5b)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def fleet_chunk_compat(params, states, obs, extr, key):
@@ -331,7 +389,7 @@ def main():
                 s, acc = carry
                 o = Obs(image=obs.image + ji, cloud=obs.cloud,
                         has_image=obs.has_image, has_cloud=obs.has_cloud)
-                s2, out = vstep_c(params, s, o, extr)
+                s2, out = fstep_c(params, s, o, extr)
                 return (s2, acc + output_digest(out)), ()
             (states, acc), _ = jax.lax.scan(
                 body, (states, jnp.zeros((), jnp.float32)), ji_t)

@@ -94,11 +94,19 @@ def _run(argv):
     pub = None
     if args.publish:
         from .runtime.session import SessionPublisher
+        import numpy as _np
         pub = SessionPublisher(args.publish, cfg)
         period = 1.0 / args.hz
+        ex = eng.extrinsics
+        l2b = (_np.asarray(ex.camera_to_base)
+               @ _np.asarray(ex.lidar_to_camera))
 
         def on_step(i, state, out):
-            pub.publish(i, out, image=scene.image_at(i * period))
+            # cloudviz channel feeds the 3D view's PointCloud2 display
+            pts = scene.cloud_at(i * period).astype(_np.float32)
+            cloud_base = pts @ l2b[:3, :3].T + l2b[:3, 3]
+            pub.publish(i, out, image=scene.image_at(i * period),
+                        cloud_xyz=cloud_base)
         logger.info("publishing session %r (attach with: python -m "
                     "grid_vision_tpu view --session %s)",
                     args.publish, args.publish)

@@ -179,24 +179,21 @@ class GridVisionConfig:
                                     # or "resnet" (round-1 ResNet-18)
     orientation_compute: str = "follow"  # orientation-BRANCH compute
                                     # dtype: "follow" (= compute_dtype),
-                                    # "float32", or "bfloat16". The
-                                    # MultiBin 64-combo solver's output
-                                    # position is the one quantity the
-                                    # grid footprint is sensitive to at
-                                    # the cell scale (PARITY.json: with
-                                    # everything bf16 the vision-mode
-                                    # production-vs-compat agreement
-                                    # sits AT the 99% bar, while PCA
-                                    # mode — whose poses come from f32
-                                    # cloud math — is 100%). "float32"
-                                    # pins crops + orientation net +
-                                    # solver to f32 while the detector
-                                    # (the big conv block) keeps
-                                    # compute_dtype; conv MXU passes
-                                    # are bf16-multiply/f32-accumulate
-                                    # either way (default precision),
-                                    # so the cost is activation HBM
-                                    # traffic only.
+                                    # "float32", or "bfloat16".
+                                    # "float32" pins crops + net +
+                                    # MultiBin inputs to f32 under a
+                                    # bf16 detector. Measured on
+                                    # hardware: -7.3% fleet fps
+                                    # (5561 -> 5155) and NO e2e grid-
+                                    # agreement gain — the bf16-vs-f32
+                                    # grid gap is detector box jitter
+                                    # through the monocular MultiBin
+                                    # depth, not net precision
+                                    # (PARITY.json: PCA mode, whose
+                                    # depth comes from the f32 cloud,
+                                    # passes 99% e2e with the same bf16
+                                    # detector). Kept as a knob; the
+                                    # shipped config follows.
     orientation_s2d_fold: bool = True  # run the s2d stem as the exact
                                     # equivalent 12x12/s8 conv on raw
                                     # crops (same params, same math —

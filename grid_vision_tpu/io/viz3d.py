@@ -17,6 +17,12 @@ Rendering model (single z-buffer, camera-ray parameter t as depth):
            projected polygon, Lambert-shaded by face normal;
   spheres  billboard discs at center depth (markers are 0.3 m lights —
            a disc is visually exact at operator distances);
+  points   the live LiDAR cloud (session cloudviz channel), z-buffered
+           1-2 px splats colored by height — the reference profile's
+           PointCloud2 display (config.rviz:115, AxisColor-style);
+  robot    stylized vehicle body at the origin (chassis + cabin +
+           wheels) standing in for the RobotModel display
+           (config.rviz:73: the URDF itself isn't shipped);
   text     billboard bitmap (io/font.py) scaled ~1/z like RViz's
            view-facing TEXT_VIEW_FACING markers;
   axes     1 m RGB TF triad at the robot origin (config.rviz TF display).
@@ -268,6 +274,61 @@ def _draw_text(r: _Raster, m: dict) -> None:
                                        r.rgb[ys0:ys1, xs0:xs1])
 
 
+def _draw_points(r: _Raster, xyz: np.ndarray) -> None:
+    """Z-buffered point splats colored by height (RViz AxisColor on z:
+    blue near the ground -> green -> warm at ~2.5 m). Near points get a
+    2x2 splat so the cloud reads as a surface at operator distances."""
+    pts = np.asarray(xyz, np.float32)
+    if pts.size == 0:
+        return
+    u, v, z = r.project(pts)
+    ok = ((z > 0.05) & (u >= 0) & (u < r.w - 1) & (v >= 0)
+          & (v < r.h - 1))
+    if not ok.any():
+        return
+    u, v = u[ok], v[ok]
+    t = np.linalg.norm(pts[ok] - r.eye[None], axis=-1).astype(np.float32)
+    h = np.clip((pts[ok, 2] + 0.5) / 3.0, 0.0, 1.0)   # z in [-0.5, 2.5]
+    # two-segment colormap: blue -> green -> amber
+    lo = np.array([70, 110, 255], np.float32)
+    mid = np.array([60, 220, 130], np.float32)
+    hi = np.array([255, 200, 60], np.float32)
+    a = np.clip(h * 2.0, 0, 1)[:, None]
+    b = np.clip(h * 2.0 - 1.0, 0, 1)[:, None]
+    col = lo[None] + a * (mid - lo)[None]
+    col = col + b * (hi - mid)[None]
+    ui = u.astype(np.int64)
+    vi = v.astype(np.int64)
+    near = t < 25.0
+    for dx, dy, sel in ((0, 0, slice(None)), (1, 0, near), (0, 1, near),
+                        (1, 1, near)):
+        x = ui[sel] + dx
+        y = vi[sel] + dy
+        tt = t[sel]
+        cc = col[sel]
+        upd = tt < r.zbuf[y, x]
+        r.zbuf[y, x] = np.where(upd, tt, r.zbuf[y, x])
+        r.rgb[y, x] = np.where(upd[:, None], cc, r.rgb[y, x])
+
+
+def _draw_robot(r: _Raster) -> None:
+    """Stylized ego vehicle at the base origin — the RobotModel display
+    (config.rviz:73). The reference's URDF isn't in the snapshot; a
+    chassis + cabin + four wheels gives the operator the same spatial
+    anchor."""
+    body = np.array([120, 128, 140], np.float32) / 255.0
+    glass = np.array([70, 90, 120], np.float32) / 255.0
+    tire = np.array([30, 30, 34], np.float32) / 255.0
+    _draw_cube(r, {"position": [0.2, 0.0, 0.55],
+                   "scale": [4.2, 1.8, 0.7], "color": body})
+    _draw_cube(r, {"position": [-0.1, 0.0, 1.15],
+                   "scale": [2.0, 1.6, 0.6], "color": glass})
+    for wx in (1.45, -1.25):
+        for wy in (0.85, -0.85):
+            _draw_cube(r, {"position": [wx, wy, 0.33],
+                           "scale": [0.66, 0.24, 0.66], "color": tire})
+
+
 def _draw_segment(r: _Raster, a, b, color, width_px: float = 1.5) -> None:
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
@@ -291,15 +352,21 @@ def _draw_segment(r: _Raster, a, b, color, width_px: float = 1.5) -> None:
 
 def render_scene(grid: Optional[np.ndarray], grid_meta: Optional[dict],
                  markers: List[dict], width: int = 640, height: int = 480,
-                 cam: Optional[OrbitCamera] = None) -> np.ndarray:
+                 cam: Optional[OrbitCamera] = None,
+                 cloud: Optional[np.ndarray] = None,
+                 robot: bool = True) -> np.ndarray:
     """Render the operator 3D view -> (height, width, 3) uint8.
 
     grid: (rows, cols) int8 occupancy (-1 unknown, 0..100), or None.
     grid_meta: {"resolution", "center", "length"} as in SessionFrame.
     markers: marker dicts as produced by io.viz.markers_from_output.
+    cloud: optional (N, 3) base-frame LiDAR points (PointCloud2
+    display); robot: draw the ego-vehicle model at the origin.
     """
     r = _Raster(width, height, cam or OrbitCamera())
     _draw_ground(r, grid, grid_meta)
+    if robot:
+        _draw_robot(r)
     # far-to-near marker order is irrelevant (z-buffer), but draw text
     # last so its depth bias never loses to its own sign's sphere.
     for m in markers:
@@ -308,6 +375,8 @@ def render_scene(grid: Optional[np.ndarray], grid_meta: Optional[dict],
     for m in markers:
         if m.get("type") == "sphere":
             _draw_sphere(r, m)
+    if cloud is not None:
+        _draw_points(r, cloud)
     # TF triad at the robot origin (1 m axes, RViz TF display)
     _draw_segment(r, (0, 0, 0.02), (1, 0, 0.02),
                   np.array([235, 60, 60], np.float32))

@@ -682,6 +682,7 @@ class Engine:
             donate_argnums=(1,))
         self._chunk_jits: Dict[int, Any] = {}
         self._tracked_jits: Dict[Any, Any] = {}
+        self._delta_jits = None
 
     def init_state(self, seed: int = 0) -> GridState:
         return GridState.create(self.cfg, seed)
@@ -726,6 +727,40 @@ class Engine:
             self._tracked_jits[tcfg] = fn
         return fn(self.params, state, tracks, obs,
                   self.extrinsics, jnp.asarray(dt, jnp.float32))
+
+    def call_packed_delta(self, state: GridState, prev_image_u8, buf,
+                          keyframe: bool):
+        """ROI-delta streaming step (types.pack_delta_bytes wire).
+
+        prev_image_u8: the device-resident (H, W, 3) uint8 previous
+        frame (carry what this returns). keyframe=True takes a full
+        Obs.pack_bytes buffer instead (the encoder's fallback when the
+        changed region exceeds the ROI window — types.delta_roi_shape).
+        Two compiled programs total, both static-shaped. Returns
+        (state', image_u8', out)."""
+        if self.cfg.wire_image_codec != "rgb8":
+            raise ValueError("the ROI-delta wire ships raw rgb8 windows;"
+                             " set wire_image_codec='rgb8'")
+        if self._delta_jits is None:
+            cfg = self.cfg
+
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def key_fn(params, state, prev, buf, extr):
+                obs = Obs.unpack(buf, cfg)
+                s2, out = step(params, state, obs, extr, cfg)
+                return s2, obs.image.astype(jnp.uint8), out
+
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def delta_fn(params, state, prev, buf, extr):
+                from .types import unpack_delta
+                obs = unpack_delta(buf, prev, cfg)
+                s2, out = step(params, state, obs, extr, cfg)
+                return s2, obs.image, out
+
+            self._delta_jits = (key_fn, delta_fn)
+        fn = self._delta_jits[0] if keyframe else self._delta_jits[1]
+        return fn(self.params, state, prev_image_u8, buf,
+                  self.extrinsics)
 
     def call_packed_chunk(self, state: GridState, chunk):
         """Throughput-mode ingest: a (K, nbytes) stack of packed frames

@@ -205,6 +205,14 @@ class FleetServer:
         self._last_images = [
             np.zeros((cfg.camera_image_height, cfg.camera_image_width, 3),
                      np.float32) for _ in range(n_rigs)]
+        # last raw host cloud per rig (lidar frame), republished on the
+        # session cloudviz channel for the 3D operator view's
+        # PointCloud2 display (io/viz3d.py)
+        self._last_clouds: List[Optional[np.ndarray]] = [None] * n_rigs
+        if not shared:
+            ex = self.fleet.extrinsics
+            self._lidar_to_base = (np.asarray(ex.camera_to_base)
+                                   @ np.asarray(ex.lidar_to_camera))
         self.parse_errors = 0
         # Cumulative fleet-wide saturation telemetry (StepOutput
         # .saturation summed over rigs at every publish cadence): the
@@ -254,6 +262,8 @@ class FleetServer:
                                                  cfg.max_points)
                     xyz[r], inten[r], counts[r] = x, i_, c
                     has_cloud[r] = c > 0
+                    if c > 0:
+                        self._last_clouds[r] = np.array(x[:c])
                 else:
                     self.parse_errors += 1
         return Obs(
@@ -329,12 +339,25 @@ class FleetServer:
                     tr_r = jax.tree_util.tree_map(lambda a: a[r],
                                                   host_tracks)
                     extra = track_markers(tr_r, self.tcfg)
+                cloud_r = None
+                if self._last_clouds[r] is not None:
+                    from ..runtime.session import CLOUDVIZ_MAX_POINTS
+                    pts = self._last_clouds[r]
+                    if pts.shape[0] > CLOUDVIZ_MAX_POINTS:
+                        keep = np.linspace(0, pts.shape[0] - 1,
+                                           CLOUDVIZ_MAX_POINTS
+                                           ).round().astype(np.int64)
+                        pts = pts[keep]
+                    # lidar -> base frame for the world-frame 3D view
+                    cloud_r = pts @ self._lidar_to_base[:3, :3].T \
+                        + self._lidar_to_base[:3, 3]
                 self._pubs[r].publish(
                     i, out_r, image=self._last_images[r],
                     extra_markers=extra,
                     forecast=(None if forecast_b is None
                               else forecast_b[r]),
-                    horizons=self.forecast_horizons)
+                    horizons=self.forecast_horizons,
+                    cloud_xyz=cloud_r)
 
     def spin(self, steps: Optional[int] = None, hz: float = 20.0,
              stop: Optional[threading.Event] = None) -> int:

@@ -19,6 +19,10 @@ Channels (latest-wins; a slow viewer never backpressures the engine):
              int8 predicted-occupancy planes (probability x 100 at
              t + horizon[k]; serve --track --forecast, no reference
              counterpart — the reference grid is purely reactive)
+    cloudviz <iqQ>(n, step, stamp_ns) + f32 xyz[n, 3] BASE-frame points
+             (viewer-subsampled; the RViz profile's PointCloud2 display,
+             /root/reference/rviz/config.rviz:115 — the single most
+             informative association-debug overlay)
 """
 
 from __future__ import annotations
@@ -36,11 +40,14 @@ from . import native
 
 _HDR = struct.Struct("<iiqQ")
 _F_HDR = struct.Struct("<iiiqQ")   # K, rows, cols, step, stamp_ns
+_C_HDR = struct.Struct("<iqQ")     # n, step, stamp_ns
 
 GRID_CHANNEL = "grid"
 MARKERS_CHANNEL = "markers"
 OVERLAY_CHANNEL = "overlay"
 FORECAST_CHANNEL = "forecast"
+CLOUDVIZ_CHANNEL = "cloudviz"
+CLOUDVIZ_MAX_POINTS = 4096         # viewer subsample cap (48 KB/frame)
 
 
 def _encode_array(arr: np.ndarray, step: int, stamp_ns: int) -> bytes:
@@ -77,6 +84,22 @@ def _decode_forecast(data: bytes):
     return planes, horizons, step, stamp
 
 
+def _encode_cloud(xyz: np.ndarray, step: int, stamp_ns: int) -> bytes:
+    pts = np.ascontiguousarray(xyz, np.float32)
+    if pts.shape[0] > CLOUDVIZ_MAX_POINTS:
+        keep = np.linspace(0, pts.shape[0] - 1, CLOUDVIZ_MAX_POINTS
+                           ).round().astype(np.int64)
+        pts = pts[keep]
+    return (_C_HDR.pack(pts.shape[0], step, stamp_ns) + pts.tobytes())
+
+
+def _decode_cloud(data: bytes):
+    n, step, stamp = _C_HDR.unpack_from(data)
+    xyz = np.frombuffer(data, np.float32, n * 3,
+                        _C_HDR.size).reshape(n, 3)
+    return xyz, step, stamp
+
+
 class SessionPublisher:
     """Engine-side publisher. Create once; call publish() per step.
 
@@ -111,6 +134,7 @@ class SessionPublisher:
                 native.shm_path(session, OVERLAY_CHANNEL),
                 capacity=_HDR.size + h * w * 3, create=True)
         self._forecast_box = None
+        self._cloud_box = None
         self._grid_cells = gx * gy
 
     def publish(self, step: int, out: StepOutput,
@@ -118,11 +142,15 @@ class SessionPublisher:
                 stamp_ns: int = 0,
                 extra_markers: Optional[List[dict]] = None,
                 forecast: Optional[np.ndarray] = None,
-                horizons=None) -> None:
+                horizons=None,
+                cloud_xyz: Optional[np.ndarray] = None) -> None:
         """forecast: optional (K, rows, cols) int8 predicted-occupancy
         planes for the K `horizons` (seconds) — published on the
         forecast channel (mailbox created lazily on first use so
-        non-forecasting sessions carry no extra shm)."""
+        non-forecasting sessions carry no extra shm).
+        cloud_xyz: optional (N, 3) BASE-frame points for the cloudviz
+        channel (subsampled to CLOUDVIZ_MAX_POINTS; the 3D operator
+        view's PointCloud2 display). Same lazy-mailbox convention."""
         grid = np.asarray(out.occupancy_i8, np.int8)
         self._grid_box.write(_encode_array(grid, step, stamp_ns), stamp_ns)
         if forecast is not None:
@@ -135,6 +163,14 @@ class SessionPublisher:
             self._forecast_box.write(
                 _encode_forecast(planes, horizons, step, stamp_ns),
                 stamp_ns)
+        if cloud_xyz is not None:
+            if self._cloud_box is None:
+                self._cloud_box = native.ShmMailbox(
+                    native.shm_path(self.session, CLOUDVIZ_CHANNEL),
+                    capacity=_C_HDR.size + CLOUDVIZ_MAX_POINTS * 12,
+                    create=True)
+            self._cloud_box.write(_encode_cloud(cloud_xyz, step,
+                                                stamp_ns), stamp_ns)
         markers = viz.markers_from_output(out)
         if extra_markers:
             markers = markers + list(extra_markers)
@@ -151,14 +187,16 @@ class SessionPublisher:
     def close(self) -> None:
         self._grid_box.close()
         self._markers_box.close()
-        for b in (self._overlay_box, self._forecast_box):
+        for b in (self._overlay_box, self._forecast_box,
+                  self._cloud_box):
             if b is not None:
                 b.close()
 
     def unlink(self) -> None:
         self._grid_box.unlink()
         self._markers_box.unlink()
-        for b in (self._overlay_box, self._forecast_box):
+        for b in (self._overlay_box, self._forecast_box,
+                  self._cloud_box):
             if b is not None:
                 b.unlink()
 
@@ -177,6 +215,7 @@ class SessionFrame:
         self.grid_meta: Optional[dict] = grid_meta
         self.forecast = forecast        # (K, rows, cols) int8 or None
         self.horizons = horizons        # (K,) float32 seconds or None
+        self.cloud = None               # (N, 3) f32 base-frame or None
 
 
 class SessionSubscriber:
@@ -191,6 +230,7 @@ class SessionSubscriber:
         self._markers_box = self._try_open(MARKERS_CHANNEL)
         self._overlay_box = self._try_open(OVERLAY_CHANNEL)
         self._forecast_box = self._try_open(FORECAST_CHANNEL)
+        self._cloud_box = self._try_open(CLOUDVIZ_CHANNEL)
         self._grid_seq = 0
 
     def _try_open(self, channel: str):
@@ -232,11 +272,17 @@ class SessionSubscriber:
             if fc is not None:
                 planes, horizons, _s, _t = _decode_forecast(fc[0])
                 frame.forecast, frame.horizons = planes, horizons
+        if self._cloud_box is None:
+            self._cloud_box = self._try_open(CLOUDVIZ_CHANNEL)
+        if self._cloud_box is not None:
+            c = self._cloud_box.read()
+            if c is not None:
+                frame.cloud = _decode_cloud(c[0])[0]
         return frame
 
     def close(self) -> None:
         self._grid_box.close()
         for b in (self._markers_box, self._overlay_box,
-                  self._forecast_box):
+                  self._forecast_box, self._cloud_box):
             if b is not None:
                 b.close()

@@ -70,6 +70,136 @@ def packed_from_scene(scene: SyntheticScene, t: float,
     return buf, dropped
 
 
+class PackedDeltaEncoder:
+    """Host-side ROI-delta wire encoder (types.pack_delta_bytes).
+
+    encode() diffs the new frame against the previous one; if every
+    changed pixel fits the fixed ROI window (types.delta_roi_shape) it
+    emits a delta record (~4x fewer image bytes), otherwise a keyframe
+    (the full Obs.pack_bytes buffer). The first frame is always a
+    keyframe. Pixel changes below `threshold` grey levels are treated
+    as static (sensor noise must not force keyframes)."""
+
+    def __init__(self, cfg: GridVisionConfig, threshold: int = 2):
+        from ..types import delta_roi_shape
+        if cfg.wire_image_codec != "rgb8":
+            raise ValueError("ROI-delta wire requires "
+                             "wire_image_codec='rgb8'")
+        self.cfg = cfg
+        self.threshold = threshold
+        self.roi_h, self.roi_w = delta_roi_shape(cfg)
+        self._prev: Optional[np.ndarray] = None
+        self.keyframes = 0
+        self.deltas = 0
+
+    def encode_with_prev(self, prev_u8, img_u8: np.ndarray,
+                         xyz: np.ndarray, inten: np.ndarray, count: int,
+                         has_image: bool, has_cloud: bool):
+        """STATELESS encode against an explicitly supplied previous
+        frame (prev_u8 None -> keyframe). Order-independent, so
+        prefetch workers can encode frames concurrently — each worker
+        supplies the frame its record applies to (the decode chain on
+        device is still strictly sequential). -> (keyframe: bool, buf).
+        """
+        from ..types import pack_delta_bytes
+        cfg = self.cfg
+        img_u8 = np.ascontiguousarray(img_u8, np.uint8)
+        fits = False
+        y0 = x0 = 0
+        if prev_u8 is not None:
+            diff = np.abs(img_u8.astype(np.int16)
+                          - prev_u8.astype(np.int16)).max(axis=-1)
+            ys, xs = np.nonzero(diff > self.threshold)
+            if ys.size == 0:
+                y0 = x0 = 0
+                fits = True
+            elif (ys.max() - ys.min() < self.roi_h
+                    and xs.max() - xs.min() < self.roi_w):
+                # clamp the window inside the frame
+                y0 = min(int(ys.min()), img_u8.shape[0] - self.roi_h)
+                x0 = min(int(xs.min()), img_u8.shape[1] - self.roi_w)
+                fits = True
+        if fits:
+            roi = img_u8[y0:y0 + self.roi_h, x0:x0 + self.roi_w]
+            self.deltas += 1
+            return False, pack_delta_bytes(roi, y0, x0, xyz, inten,
+                                           count, has_image, has_cloud,
+                                           cfg)
+        self.keyframes += 1
+        return True, Obs.pack_bytes(img_u8, xyz, inten, count,
+                                    has_image, has_cloud, cfg)
+
+    def encode(self, img_u8: np.ndarray, xyz: np.ndarray,
+               inten: np.ndarray, count: int, has_image: bool,
+               has_cloud: bool):
+        """Stateful convenience wrapper (sequential callers): diffs
+        against the last encoded frame. -> (keyframe: bool, buf)."""
+        prev, self._prev = self._prev, np.ascontiguousarray(img_u8,
+                                                            np.uint8)
+        return self.encode_with_prev(prev, self._prev, xyz, inten,
+                                     count, has_image, has_cloud)
+
+
+def replay_delta(engine: Engine, scene: SyntheticScene, n_steps: int,
+                 hz: float = 10.0, prefetch: int = 8,
+                 workers: int = 2) -> ReplayResult:
+    """Per-frame realtime-capable replay over the ROI-delta wire
+    (Engine.call_packed_delta): same output semantics as `replay`
+    (every frame published, one dispatch per frame), ~4x fewer wire
+    bytes per delta record. The encoder runs in the prefetch workers;
+    the returned ReplayResult carries the keyframe/delta split in
+    .stats via the encoder counters (delta_encoder attribute)."""
+    import concurrent.futures
+
+    cfg = engine.cfg
+    period = 1.0 / hz
+    enc = PackedDeltaEncoder(cfg)
+
+    def gen(i: int):
+        xyz = scene.cloud_at(i * period)
+        ox, oi, n, dropped = PointCloud.pack_host(xyz, None,
+                                                  cfg.max_points)
+        img = np.clip(scene.image_at(i * period), 0, 255).astype(np.uint8)
+        # stateless: each worker renders the frame its delta applies to
+        # (order-independent, ~1 ms — the sequential decode chain lives
+        # on the device side)
+        prev_img = None
+        if i > 0:
+            prev_img = np.clip(scene.image_at((i - 1) * period), 0,
+                               255).astype(np.uint8)
+        key, buf = enc.encode_with_prev(prev_img, img, ox, oi, n, True,
+                                        n > 0)
+        return key, buf, dropped
+
+    state = engine.init_state()
+    prev = jnp.zeros((cfg.camera_image_height, cfg.camera_image_width,
+                      3), jnp.uint8)
+    stats: List[StepStats] = []
+    with concurrent.futures.ThreadPoolExecutor(
+            max_workers=workers) as pool:
+        futures = {i: pool.submit(gen, i)
+                   for i in range(min(prefetch, n_steps))}
+        t_start = time.perf_counter()
+        for i in range(n_steps):
+            key, buf, dropped = futures.pop(i).result()
+            j = i + prefetch
+            if j < n_steps:
+                futures[j] = pool.submit(gen, j)
+            t0 = time.perf_counter()
+            state, prev, _out = engine.call_packed_delta(
+                state, prev, jnp.asarray(buf), keyframe=key)
+            stats.append(StepStats(step=i,
+                                   dispatch_s=time.perf_counter() - t0,
+                                   cloud_points_dropped=dropped))
+        _ = float(np.asarray(jax.device_get(
+            state.log_odds.reshape(-1)[0])))
+        wall = time.perf_counter() - t_start
+    res = ReplayResult(n_steps=n_steps, wall_s=wall, stats=stats,
+                       final_state=state)
+    res.delta_encoder = enc
+    return res
+
+
 def replay_chunked(engine: Engine, scene: SyntheticScene, n_steps: int,
                    hz: float = 10.0, chunk: int = 8, prefetch: int = 4,
                    workers: int = 2) -> ReplayResult:

@@ -151,10 +151,11 @@ def ansi_halfblock(img: np.ndarray) -> str:
 def view3d_frame_rgb(frame: SessionFrame, width: int = 640,
                      height: int = 480) -> np.ndarray:
     """The RViz-style 3D operator view of a session frame (io/viz3d.py:
-    orbit camera, occupancy ground plane, marker cubes/spheres/text)."""
+    orbit camera, occupancy ground plane, live point cloud, robot
+    model, marker cubes/spheres/text)."""
     from ..io.viz3d import render_scene
     return render_scene(frame.grid, frame.grid_meta, frame.markers,
-                        width=width, height=height)
+                        width=width, height=height, cloud=frame.cloud)
 
 
 def terminal_view(session: str, max_seconds: Optional[float] = None,

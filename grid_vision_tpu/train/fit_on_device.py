@@ -31,6 +31,11 @@ def main(argv=None):
     ap.add_argument("--scene-frac", type=float, default=0.5,
                     help="fraction of each batch drawn from the scene "
                          "dataset (rest is on-device rectangles)")
+    ap.add_argument("--two-wheeler-boost", type=float, default=0.0,
+                    help="per-frame probability of injecting extra "
+                         "far-depth bikes/motorbikes into the scene "
+                         "dataset (the round-3 weak classes; "
+                         "train/scene_dataset.py)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -62,7 +67,8 @@ def main(argv=None):
         from .scene_dataset import build_scene_dataset
         print(f"rendering {args.scene_frames} scene frames...", flush=True)
         imgs_u8, stb, stc, stp = build_scene_dataset(
-            args.scene_frames, GridVisionConfig(), ycfg)
+            args.scene_frames, GridVisionConfig(), ycfg,
+            two_wheeler_boost=args.two_wheeler_boost)
         # single upload; uint8 keeps it 4x smaller in HBM. MUST be a jit
         # ARGUMENT, not a closure capture: closure constants are
         # embedded in the serialized HLO, and a ~240 MB module wedges

@@ -389,6 +389,111 @@ class Obs:
                    has_image=has_image, has_cloud=has_cloud)
 
 
+# ----------------------------------------------------------------------
+# ROI-delta input wire (round 4): the per-frame live path is TRANSFER-
+# bound on this link (host render measured 1.1 ms/frame vs ~20 ms/frame
+# achieved — docs/PERF.md), so the way up is fewer bytes per record.
+# Between consecutive camera frames only the moving objects change; a
+# delta record ships a FIXED-SIZE ROI window (static shape — one
+# compiled unpack, no shape-bucket recompiles) positioned over the
+# changed region, applied on device into the previous frame with
+# dynamic_update_slice. When the change exceeds the window the encoder
+# falls back to a keyframe record (the full Obs.pack_bytes buffer).
+# The CLOUD ships full in every record: LiDAR scans resample every
+# point every sweep, so point-level temporal deltas have nothing to
+# exploit (measured: consecutive-scan nearest-neighbor residuals are
+# the full jitter amplitude) — the f16+u8 wire dtype is the cloud's
+# win. Delta layout (little-endian):
+#   [0:4)  i32 count   [4] u8 has_image  [5] u8 has_cloud  [6:8) pad
+#   [8:12) i32 roi_y0  [12:16) i32 roi_x0
+#   [16 : 16+Hr*Wr*3)  ROI rgb8
+#   [..]               cloud (same wire dtype rules as Obs.pack_bytes)
+# ----------------------------------------------------------------------
+
+def delta_roi_shape(cfg: GridVisionConfig):
+    """Fixed delta ROI window (half the frame each axis: 4x fewer image
+    bytes; covers the demo world's entire moving-object envelope)."""
+    return cfg.camera_image_height // 2, cfg.camera_image_width // 2
+
+
+def delta_nbytes(cfg: GridVisionConfig) -> int:
+    hr, wr = delta_roi_shape(cfg)
+    _, cloud = Obs._wire_sizes(cfg)
+    return 16 + hr * wr * 3 + cloud
+
+
+def pack_delta_bytes(roi_u8: np.ndarray, y0: int, x0: int,
+                     xyz: np.ndarray, intensity: np.ndarray, count: int,
+                     has_image: bool, has_cloud: bool,
+                     cfg: GridVisionConfig) -> np.ndarray:
+    """Host-side delta pack. roi_u8: (Hr, Wr, 3) uint8 window content at
+    (y0, x0) of the NEW frame (delta_roi_shape dims). Requires
+    wire_image_codec == 'rgb8' (the ROI ships raw)."""
+    hr, wr = delta_roi_shape(cfg)
+    p = cfg.max_points
+    buf = np.empty(delta_nbytes(cfg), np.uint8)
+    buf[0:4].view(np.int32)[0] = count
+    buf[4] = 1 if has_image else 0
+    buf[5] = 1 if has_cloud else 0
+    buf[6:8] = 0
+    buf[8:12].view(np.int32)[0] = y0
+    buf[12:16].view(np.int32)[0] = x0
+    o = 16
+    buf[o:o + hr * wr * 3] = np.ascontiguousarray(
+        roi_u8, np.uint8).reshape(-1)
+    o += hr * wr * 3
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    inten = np.ascontiguousarray(intensity, np.float32)
+    if cfg.wire_cloud_dtype == "float32":
+        buf[o:o + p * 12].view(np.float32)[:] = xyz.reshape(-1)
+        o += p * 12
+        buf[o:o + p * 4].view(np.float32)[:] = inten.reshape(-1)
+    else:
+        x16 = np.clip(xyz, -Obs._F16_PAD, Obs._F16_PAD).astype(np.float16)
+        buf[o:o + p * 6].view(np.float16)[:] = x16.reshape(-1)
+        o += p * 6
+        buf[o:o + p] = np.clip(inten, 0, 255).astype(np.uint8)
+    return buf
+
+
+def unpack_delta(buf: jnp.ndarray, prev_image_u8: jnp.ndarray,
+                 cfg: GridVisionConfig) -> "Obs":
+    """Device-side delta unpack (pure jnp; call inside jit): patch the
+    ROI into the carried previous frame, decode the cloud like
+    Obs.unpack. Returns an Obs whose image is the FULL updated uint8
+    frame (also the next call's prev_image_u8)."""
+    hr, wr = delta_roi_shape(cfg)
+    p = cfg.max_points
+    count = jax.lax.bitcast_convert_type(buf[0:4], jnp.int32)
+    has_image = buf[4] > 0
+    has_cloud = buf[5] > 0
+    y0 = jax.lax.bitcast_convert_type(buf[8:12], jnp.int32)
+    x0 = jax.lax.bitcast_convert_type(buf[12:16], jnp.int32)
+    o = 16
+    roi = buf[o:o + hr * wr * 3].reshape(hr, wr, 3)
+    image = jax.lax.dynamic_update_slice(
+        prev_image_u8, roi, (y0, x0, jnp.zeros((), jnp.int32)))
+    o += hr * wr * 3
+    if cfg.wire_cloud_dtype == "float32":
+        xyz = jax.lax.bitcast_convert_type(
+            buf[o:o + p * 12].reshape(p, 3, 4), jnp.float32)
+        o += p * 12
+        intensity = jax.lax.bitcast_convert_type(
+            buf[o:o + p * 4].reshape(p, 4), jnp.float32)
+    else:
+        x16 = jax.lax.bitcast_convert_type(
+            buf[o:o + p * 6].reshape(p, 3, 2), jnp.float16)
+        valid = (jnp.arange(p) < count)[:, None]
+        xyz = jnp.where(valid, x16.astype(jnp.float32),
+                        PointCloud.PAD_SENTINEL)
+        o += p * 6
+        intensity = buf[o:o + p].astype(jnp.float32)
+    return Obs(image=image,
+               cloud=PointCloud(xyz=xyz, intensity=intensity,
+                                count=count),
+               has_image=has_image, has_cloud=has_cloud)
+
+
 _YUV_M = np.array([[0.299, 0.587, 0.114],
                    [-0.168736, -0.331264, 0.5],
                    [0.5, -0.418688, -0.081312]], np.float32).T

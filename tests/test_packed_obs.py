@@ -191,3 +191,53 @@ def test_replay_chunked_matches_per_frame():
     np.testing.assert_array_equal(
         np.asarray(res_a.final_state.log_odds),
         np.asarray(res_b.final_state.log_odds))
+
+
+def test_delta_wire_roundtrip_exact():
+    """ROI-delta unpack reproduces the full frame byte-for-byte when the
+    change fits the window (types.pack_delta_bytes / unpack_delta)."""
+    from grid_vision_tpu.types import (delta_roi_shape, pack_delta_bytes,
+                                       unpack_delta)
+    cfg = small_cfg()
+    rng = np.random.default_rng(0)
+    h, w = cfg.camera_image_height, cfg.camera_image_width
+    prev = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    new = prev.copy()
+    hr, wr = delta_roi_shape(cfg)
+    y0, x0 = 11, 17
+    new[y0 + 3:y0 + 20, x0 + 5:x0 + 30] = rng.integers(
+        0, 256, (17, 25, 3)).astype(np.uint8)
+    xyz = np.full((cfg.max_points, 3), PointCloud.PAD_SENTINEL,
+                  np.float32)
+    xyz[:40] = rng.normal(size=(40, 3))
+    inten = np.zeros((cfg.max_points,), np.float32)
+    buf = pack_delta_bytes(new[y0:y0 + hr, x0:x0 + wr], y0, x0, xyz,
+                           inten, 40, True, True, cfg)
+    obs = jax.jit(lambda b, p: unpack_delta(b, p, cfg))(
+        jnp.asarray(buf), jnp.asarray(prev))
+    np.testing.assert_array_equal(np.asarray(obs.image), new)
+    assert int(obs.cloud.count) == 40
+    np.testing.assert_allclose(np.asarray(obs.cloud.xyz[:40]), xyz[:40],
+                               rtol=1e-6)
+
+
+def test_replay_delta_matches_per_frame():
+    """The ROI-delta live path (Engine.call_packed_delta) carries the
+    IDENTICAL grid state as the full per-frame packed path on the same
+    scene — keyframes and deltas compose exactly."""
+    from grid_vision_tpu.runtime.stream import replay_delta
+    cfg = small_cfg()
+    eng_a = pipeline.Engine(cfg, extrinsics=default_extrinsics(), seed=0)
+    eng_b = pipeline.Engine(cfg, extrinsics=default_extrinsics(), seed=0)
+    scene_a = SyntheticScene(cfg, seed=2)
+    scene_a.add_default_traffic()
+    scene_b = SyntheticScene(cfg, seed=2)
+    scene_b.add_default_traffic()
+    res_a = replay(eng_a, scene_a, n_steps=8)
+    res_b = replay_delta(eng_b, scene_b, n_steps=8)
+    enc = res_b.delta_encoder
+    assert enc.keyframes >= 1                   # frame 0 at least
+    assert enc.deltas >= 1, (enc.keyframes, enc.deltas)
+    np.testing.assert_array_equal(
+        np.asarray(res_a.final_state.log_odds),
+        np.asarray(res_b.final_state.log_odds))

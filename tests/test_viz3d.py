@@ -88,7 +88,11 @@ def test_tf_axes_at_origin():
     # bias) — any real orbit pose separates them.
     cam = OrbitCamera(distance=8.0, pitch=0.6, yaw=np.pi - 0.5,
                       focal=(0.0, 0.0, 0.0))
-    img = render_scene(None, None, [], width=200, height=150, cam=cam)
+    # robot=False: the ego-vehicle model (round 4) stands on the same
+    # origin and occludes parts of the triad — this test isolates the
+    # TF display itself
+    img = render_scene(None, None, [], width=200, height=150, cam=cam,
+                       robot=False)
     red = (img[..., 0] > 180) & (img[..., 1] < 100) & (img[..., 2] < 100)
     green = (img[..., 1] > 150) & (img[..., 0] < 100)
     bluez = (img[..., 2] > 180) & (img[..., 0] < 120) & (img[..., 1] < 140)
@@ -138,3 +142,75 @@ def test_viewer_surface_uses_session_frame(tmp_path, monkeypatch):
     img = view3d_frame_rgb(frame, width=320, height=240)
     assert img.shape == (240, 320, 3)
     pub.unlink()
+
+
+def test_point_cloud_display_renders():
+    """The 3D operator view renders the live cloud (PointCloud2 display,
+    config.rviz:115): points in front of the camera change pixels, and
+    nearer geometry still wins the z-buffer."""
+    import numpy as np
+    from grid_vision_tpu.io.viz3d import render_scene
+
+    rng = np.random.default_rng(0)
+    pts = np.column_stack([rng.uniform(5, 20, 500),
+                           rng.uniform(-5, 5, 500),
+                           rng.uniform(0.2, 2.0, 500)]).astype(np.float32)
+    base = render_scene(None, None, [], width=160, height=120,
+                        robot=False)
+    with_cloud = render_scene(None, None, [], width=160, height=120,
+                              cloud=pts, robot=False)
+    assert (base != with_cloud).any(), "cloud drew nothing"
+    # behind-camera points must not draw
+    behind = render_scene(None, None, [], width=160, height=120,
+                          cloud=np.array([[1e4, 1e4, 1e4]], np.float32),
+                          robot=False)
+    np.testing.assert_array_equal(base, behind)
+
+
+def test_robot_model_renders_at_origin():
+    """The RobotModel stand-in (config.rviz:73) draws the ego vehicle."""
+    import numpy as np
+    from grid_vision_tpu.io.viz3d import render_scene
+
+    without = render_scene(None, None, [], width=160, height=120,
+                           robot=False)
+    with_robot = render_scene(None, None, [], width=160, height=120,
+                              robot=True)
+    assert (without != with_robot).any()
+
+
+def test_session_cloudviz_roundtrip():
+    """cloudviz channel: publisher subsample + decode round-trips, and
+    the subscriber surfaces it as frame.cloud."""
+    import numpy as np
+    from grid_vision_tpu.config import GridVisionConfig
+    from grid_vision_tpu.runtime.session import (SessionPublisher,
+                                                 SessionSubscriber)
+    from grid_vision_tpu.types import (Boxes, LShapePoses,
+                                       SaturationStats, StepOutput)
+    import jax.numpy as jnp
+
+    cfg = GridVisionConfig(grid_x=24, grid_y=12, resolution=0.25,
+                           camera_image_height=32, camera_image_width=32,
+                           max_points=64)
+    out = StepOutput(
+        boxes=Boxes.empty(cfg.max_detections),
+        poses=LShapePoses.empty(cfg.max_orientation_batch),
+        static_points=jnp.zeros((cfg.max_detections, 3)),
+        static_depths=jnp.full((cfg.max_detections,), -1.0),
+        static_boxes=Boxes.empty(cfg.max_detections),
+        occupancy_i8=jnp.zeros(cfg.grid_size, jnp.int8),
+        saturation=SaturationStats.zeros())
+    pub = SessionPublisher("gvtest-cloudviz", cfg, overlay=False)
+    try:
+        rng = np.random.default_rng(1)
+        pts = rng.normal(size=(300, 3)).astype(np.float32)
+        pub.publish(0, out, cloud_xyz=pts)
+        sub = SessionSubscriber("gvtest-cloudviz")
+        frame = sub.poll()
+        sub.close()
+        assert frame is not None and frame.cloud is not None
+        np.testing.assert_array_equal(frame.cloud, pts)
+    finally:
+        pub.unlink()
+        pub.close()
