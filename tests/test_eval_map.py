@@ -92,17 +92,24 @@ def test_shipped_detector_map_floor():
     cfg = GridVisionConfig(
         detection_weights_file="/weights/detector.npz")
     params = weights.load_all(cfg, base_dir=REPO)
-    # Floors at measured-minus-margin (VERDICT r2 #8): shipped weights
-    # measure 0.988 synth / 0.872 scene over 64 images with per-class
-    # AP >= 0.93 / >= 0.61 across ALL TEN classes (docs/QUALITY.md).
+    # Floors at measured-minus-margin (tightened round 4, VERDICT r3
+    # #4): shipped weights measure 0.987 synth / 0.925 scene over 64
+    # images with per-class AP >= 0.93 / >= 0.81 across ALL TEN classes
+    # — two-wheelers specifically 0.868 / 0.906 scene after the
+    # far-depth boost retrain (docs/QUALITY.md).
     synth = evaluate_detector(params, cfg, n_images=50, source="synth")
     assert synth.map50 >= 0.95, synth.to_dict()
     scene = evaluate_detector(params, cfg, n_images=50, source="scene")
-    assert scene.map50 >= 0.80, scene.to_dict()
+    assert scene.map50 >= 0.85, scene.to_dict()
     # every class of the 10-class taxonomy must appear in the held-out
-    # ground truth and be detected at nonzero AP
+    # ground truth and clear a REAL per-class floor (a 45% regression
+    # on the weakest class fails here, unlike the round-3 token 0.3)
     import numpy as np
     for res in (synth, scene):
         assert len(res.per_class_ap) == 10, res.per_class_ap
         for name, ap in res.per_class_ap.items():
-            assert not np.isnan(ap) and ap > 0.3, (name, res.per_class_ap)
+            assert not np.isnan(ap) and ap >= 0.5, (name,
+                                                    res.per_class_ap)
+    # the round-3 weak classes stay fixed (scene Bike/Motorbike)
+    assert scene.per_class_ap["Bike"] >= 0.72, scene.per_class_ap
+    assert scene.per_class_ap["Motorbike"] >= 0.75, scene.per_class_ap
