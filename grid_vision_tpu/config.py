@@ -194,6 +194,18 @@ class GridVisionConfig:
                                     # passes 99% e2e with the same bf16
                                     # detector). Kept as a knob; the
                                     # shipped config follows.
+    orientation_stem_backend: str = "xla"  # "pallas" fuses the whole
+                                    # per-crop front end — box crop-
+                                    # resize, Q10 standardization
+                                    # (folded affinely into the conv),
+                                    # and the 12x12/s8 s2d stem conv —
+                                    # into one VMEM-resident kernel per
+                                    # compacted crop
+                                    # (ops/pallas_orient.py). Fleet
+                                    # path (fleet_step) with the s2d
+                                    # arch + s2d_fold only; equivalence
+                                    # pinned by
+                                    # tests/test_pallas_orient.py
     orientation_s2d_fold: bool = True  # run the s2d stem as the exact
                                     # equivalent 12x12/s8 conv on raw
                                     # crops (same params, same math —
@@ -284,6 +296,22 @@ class GridVisionConfig:
         if self.orientation_arch not in ("s2d", "resnet"):
             raise ValueError(
                 f"unknown orientation_arch {self.orientation_arch!r}")
+        if self.orientation_stem_backend not in ("xla", "pallas"):
+            raise ValueError(
+                f"unknown orientation_stem_backend "
+                f"{self.orientation_stem_backend!r}")
+        if self.orientation_stem_backend == "pallas" and not (
+                self.orientation_arch == "s2d"
+                and self.orientation_s2d_fold):
+            raise ValueError(
+                "orientation_stem_backend='pallas' fuses the s2d_fold "
+                "stem; it requires orientation_arch='s2d' and "
+                "orientation_s2d_fold=True")
+        if self.orientation_stem_backend == "pallas" and (
+                self.network_height % 8):
+            raise ValueError(
+                "orientation_stem_backend='pallas' needs "
+                "network_height % 8 == 0")
         if self.detector_precision not in ("float", "int8"):
             raise ValueError(
                 f"unknown detector_precision {self.detector_precision!r}")

@@ -44,6 +44,12 @@ class OrientationConfig:
     # device profile showed as ~8 us/frame of pure relayout copies at
     # the 64-rig fleet shapes. Checkpoint-compatible either way.
     s2d_fold: bool = False
+    # Input is the POST-ConvBN_0 activation (N, S/8, S/8, 4*width) —
+    # the fused Pallas crop+standardize+stem kernel's output
+    # (ops/pallas_orient.py). The bypassed ConvBN_0 still runs on a
+    # dummy so the param tree matches the canonical form (the
+    # yolov4_tiny.stem_external trick); s2d arch only.
+    stem_external: bool = False
 
 
 class ResBlock(nn.Module):
@@ -145,7 +151,17 @@ class OrientationNetS2D(nn.Module):
         d = c.compute_dtype
         w = c.width
         stage_ch = (4 * w, 8 * w, 8 * w, 8 * w, 8 * w)
-        if c.s2d_fold:
+        if c.stem_external:
+            # x is already ConvBN_0's output; run the bypassed block on
+            # a dummy so the param tree (and any checkpoint) is
+            # identical to the canonical form — XLA eliminates the
+            # dead compute (see yolov4_tiny.YoloV4Tiny stem_external).
+            dummy = jnp.zeros((1, 8, 8, 3), d)
+            _ = ConvBN(stage_ch[0], stride=2, dtype=d,
+                       s2d_fold=4)(dummy, train)
+            x = x.astype(d)
+            i = 1
+        elif c.s2d_fold:
             # s2d(4) + 3x3/s2 conv == one 12x12/s8 conv with rearranged
             # weights (exact; tests/test_models.py pins equivalence).
             # Parameter layout stays the canonical post-s2d (3,3,48,F)
@@ -230,8 +246,13 @@ def init_params(rng: jax.Array, cfg: OrientationConfig = OrientationConfig()):
 
     @jax.jit
     def _init(rng):
-        dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3),
-                          jnp.float32)
+        if cfg.stem_external:
+            dummy = jnp.zeros((1, cfg.input_size // 8,
+                               cfg.input_size // 8, 4 * cfg.width),
+                              jnp.float32)
+        else:
+            dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3),
+                              jnp.float32)
         return model.init(rng, dummy, train=False)
 
     return _init(rng)

@@ -411,6 +411,12 @@ def detector_stem_pallas(images: jnp.ndarray, variables, size: int,
             pltpu.VMEM((9, 32, quarter, quarter), dt),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=28 * 1024 * 1024),
+            # f32 (the compat-exact fleet path) doubles every scratch
+            # buffer: Mosaic's stack estimate came back 46.4 MB at a
+            # 28 MB limit and 57.7 MB at 52 MB (the limit feeds the
+            # scheduler, so the estimate moves with it); 100 MB of the
+            # v5e's 128 MB VMEM clears it with room.
+            vmem_limit_bytes=(100 if dt == jnp.float32 else 28)
+                             * 1024 * 1024),
         interpret=interp,
     )(img_p, *args)

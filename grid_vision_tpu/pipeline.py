@@ -536,36 +536,65 @@ def _fleet_vision_poses(params, images: jnp.ndarray, boxes_b: Boxes,
         lambda x: x.reshape((n_rigs * cap,) + x.shape[2:]), dyn_b)
     score = jnp.where(flat.valid, flat.confidence, -1.0)
     _, top_idx = jax.lax.top_k(score, budget)          # unique positions
+    use_pallas = cfg.orientation_stem_backend == "pallas"
+    if use_pallas:
+        # rig-grouped crop order: consecutive kernel grid steps then
+        # read the same rig's frame and Pallas elides the repeated
+        # image DMA. Order is irrelevant downstream (poses scatter
+        # back by index).
+        top_idx = jnp.sort(top_idx)
 
     g_boxes = Boxes(xyxy=flat.xyxy[top_idx],
                     confidence=flat.confidence[top_idx],
                     label=flat.label[top_idx],
                     valid=flat.valid[top_idx])
-    # Crop per rig against its OWN image (shared-image interpolation
-    # matmuls), then compact the small crops for the net. Gathering full
-    # source images per selected crop was measured ~2.5x more expensive
-    # than the padded per-rig sampling: duplicating (budget) 480x640
-    # images moves ~1.2 GB/step through HBM (XLA lowers it to serialized
-    # dynamic-slice loops), while crops are ~300 KB each.
     gdtype = _orientation_dtype(cfg)
-    # Crop per rig, standardize AFTER compaction: the per-crop mean/var
-    # normalize is the profile's top VPU item and is per-crop
-    # elementwise, so running it on only the `budget` kept crops is
-    # bit-identical and skips (n_rigs*cap - budget)/(n_rigs*cap) of it.
-    crops_raw = jax.vmap(
-        lambda im, b: preprocess.crop_resize(
-            im, b, cfg.network_height, compute_dtype=gdtype,
-            out_dtype=gdtype)
-        )(images, dyn_b)                               # (R, cap, S, S, 3)
-    crops = preprocess._standardize(
-        crops_raw.reshape((n_rigs * cap,) + crops_raw.shape[2:])[top_idx],
-        g_boxes.valid, out_dtype=gdtype)
     ocfg = orientation_net.OrientationConfig(
         input_size=cfg.network_height, width=cfg.orientation_width,
         arch=cfg.orientation_arch, s2d_fold=cfg.orientation_s2d_fold,
-        compute_dtype=gdtype)
-    orient, conf, dims = orientation_net.forward(
-        params["orientation"], crops, ocfg)
+        compute_dtype=gdtype, stem_external=use_pallas)
+    if use_pallas:
+        # Fused Pallas front end (ops/pallas_orient.py): crop-resize +
+        # standardize + the 12x12/s8 s2d stem conv in one VMEM pass per
+        # COMPACTED crop — only the `budget` kept crops are computed at
+        # all (the XLA path below crops every cap slot per rig first).
+        from .ops import pallas_orient
+        consts = params.get("orientation_stem")
+        if consts is None:
+            consts = pallas_orient.prepare_orient_constants(
+                params["orientation"], cfg.network_height,
+                cfg.orientation_width)
+        acts = pallas_orient.orient_front_pallas(
+            images, g_boxes.xyxy, g_boxes.valid,
+            (top_idx // cap).astype(jnp.int32), consts,
+            cfg.network_height, gdtype)
+        orient, conf, dims = orientation_net.forward(
+            params["orientation"], acts, ocfg)
+    else:
+        # Crop per rig against its OWN image (shared-image interpolation
+        # matmuls), then compact the small crops for the net. Gathering
+        # full source images per selected crop was measured ~2.5x more
+        # expensive than the padded per-rig sampling IN XLA: duplicating
+        # (budget) 480x640 images moves ~1.2 GB/step through HBM (XLA
+        # lowers it to serialized dynamic-slice loops), while crops are
+        # ~300 KB each. (The Pallas branch above sidesteps this with
+        # scalar-prefetch image indexing — no image copies at all.)
+        #
+        # Standardize AFTER compaction: the per-crop mean/var normalize
+        # is the profile's top VPU item and is per-crop elementwise, so
+        # running it on only the `budget` kept crops is bit-identical
+        # and skips (n_rigs*cap - budget)/(n_rigs*cap) of it.
+        crops_raw = jax.vmap(
+            lambda im, b: preprocess.crop_resize(
+                im, b, cfg.network_height, compute_dtype=gdtype,
+                out_dtype=gdtype)
+            )(images, dyn_b)                           # (R, cap, S, S, 3)
+        crops = preprocess._standardize(
+            crops_raw.reshape(
+                (n_rigs * cap,) + crops_raw.shape[2:])[top_idx],
+            g_boxes.valid, out_dtype=gdtype)
+        orient, conf, dims = orientation_net.forward(
+            params["orientation"], crops, ocfg)
     poses_g = multibin.multibin_poses(orient, conf, dims, g_boxes, K, cfg)
 
     def scatter(x, fill):
@@ -656,6 +685,15 @@ class Engine:
             params = dict(params)
             params["detector_stem"] = pallas_stem.prepare_stem_constants(
                 params["detector"])
+        if (cfg.orientation_stem_backend == "pallas"
+                and cfg.use_vision_orientation
+                and "orientation_stem" not in params):
+            from .ops import pallas_orient
+            params = dict(params)
+            params["orientation_stem"] = \
+                pallas_orient.prepare_orient_constants(
+                    params["orientation"], cfg.network_height,
+                    cfg.orientation_width)
         if (cfg.detector_stem_backend == "pallas2"
                 and cfg.detector_precision == "float"
                 and "detector_csp" not in params):
