@@ -162,9 +162,9 @@ def _orient_kernel(rig_ref, valid_ref,            # scalar prefetch
     # IDENTICAL to the XLA chain's.
     def build_wt(lo_ref, hi_ref, fr_ref, length):
         src = jax.lax.broadcasted_iota(jnp.int32, (length, size), 0)
-        lo = lo_ref[:]                             # (1, size) int32
-        hi = hi_ref[:]
-        fr = fr_ref[:]                             # (1, size) f32
+        lo = lo_ref[0]                             # (1, size) int32
+        hi = hi_ref[0]
+        fr = fr_ref[0]                             # (1, size) f32
         wt = (jnp.where(src == lo, 1.0 - fr, 0.0)
               + jnp.where(src == hi, fr, 0.0))
         return wt.astype(dt)                       # (length, size)
@@ -265,8 +265,13 @@ def orient_front_pallas(images: jnp.ndarray, boxes_xyxy: jnp.ndarray,
 
     ylo, yhi, yfr, xlo, xhi, xfr = jax.vmap(
         lambda b: box_axis_samples(b, h, w, size))(boxes_xyxy)
-    args = (ylo, yhi, yfr.astype(jnp.float32),
-            xlo, xhi, xfr.astype(jnp.float32),
+    # per-crop axis vectors travel as (N, 1, size): the Pallas TPU
+    # block-shape rule wants the last two block dims 8/128-divisible OR
+    # equal to the array dims — (1, 1, size) blocks satisfy the latter
+    args = (ylo[:, None, :], yhi[:, None, :],
+            yfr.astype(jnp.float32)[:, None, :],
+            xlo[:, None, :], xhi[:, None, :],
+            xfr.astype(jnp.float32)[:, None, :],
             jnp.asarray(consts["wmat"], dt),
             jnp.asarray(consts["s"], jnp.float32),
             jnp.asarray(consts["t"], jnp.float32))
@@ -277,7 +282,7 @@ def orient_front_pallas(images: jnp.ndarray, boxes_xyxy: jnp.ndarray,
     # scalar-prefetch index_map: crop i reads its rig's frame; the
     # per-crop operands block along the crop axis; constants are whole.
     per_crop = [
-        pl.BlockSpec((1, size), lambda i, rig, va: (i, 0),
+        pl.BlockSpec((1, 1, size), lambda i, rig, va: (i, 0, 0),
                      memory_space=pltpu.VMEM) for _ in range(6)]
     whole = [
         pl.BlockSpec(jnp.asarray(a).shape,
