@@ -300,7 +300,11 @@ def orient_front_pallas(images: jnp.ndarray, boxes_xyxy: jnp.ndarray,
                                lambda i, rig, va: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((192, 32, 32), dt),
+            # phase planes need q+1 rows/cols (tap offsets {0,1});
+            # sized from q so network_height > 248 doesn't OOB-slice
+            # (min 32 keeps the shipped-config layout unchanged)
+            pltpu.VMEM((192, max(32, -(-(q + 1) // 8) * 8),
+                        max(32, -(-(q + 1) // 8) * 8)), dt),
             pltpu.VMEM((PIX_K * PIX_K * 3, q, q), dt),
         ],
     )

@@ -149,8 +149,9 @@ class FleetServer:
         confirmed tracks will be at t + h (ops/tracking.
         forecast_occupancy, int8 probability x 100 planes on the grid
         raster; the 'forecast' session channel and the viewer's
-        /forecast.gvd stream). Calibration: tools/eval_forecast.py /
-        docs/QUALITY.md. The reference grid is purely reactive — no
+        /forecast.gvd stream). Calibration:
+        tools/eval_tracking_report.py --forecast / docs/QUALITY.md.
+        The reference grid is purely reactive — no
         counterpart."""
         self.name = name
         self.cfg = cfg

@@ -73,42 +73,54 @@ def packed_from_scene(scene: SyntheticScene, t: float,
 class PackedDeltaEncoder:
     """Host-side ROI-delta wire encoder (types.pack_delta_bytes).
 
-    encode() diffs the new frame against the previous one; if every
-    changed pixel fits the fixed ROI window (types.delta_roi_shape) it
-    emits a delta record (~4x fewer image bytes), otherwise a keyframe
-    (the full Obs.pack_bytes buffer). The first frame is always a
-    keyframe. Pixel changes below `threshold` grey levels are treated
-    as static (sensor noise must not force keyframes)."""
+    encode() diffs the new frame against the DECODER-VISIBLE
+    reconstruction (the carried previous frame with only the emitted
+    ROIs patched in — exactly what types.unpack_delta holds on device);
+    if every changed pixel fits the fixed ROI window
+    (types.delta_roi_shape) it emits a delta record (~4x fewer image
+    bytes), otherwise a keyframe (the full Obs.pack_bytes buffer). The
+    first frame is always a keyframe, and one is forced every
+    `keyframe_interval` records so sub-threshold residual (bounded at
+    `threshold` grey levels per pixel by the reconstruction diff —
+    never accumulating) is periodically squashed to zero. Pixel
+    changes below `threshold` grey levels are treated as static
+    (sensor noise must not force keyframes).
 
-    def __init__(self, cfg: GridVisionConfig, threshold: int = 2):
+    Encoding is inherently sequential: each record's diff depends on
+    what the decoder reconstructed from all prior records. Callers
+    must encode in frame order on one thread (prefetch workers should
+    render frames; the consumer loop encodes — see replay_delta)."""
+
+    def __init__(self, cfg: GridVisionConfig, threshold: int = 2,
+                 keyframe_interval: int = 64):
         from ..types import delta_roi_shape
         if cfg.wire_image_codec != "rgb8":
             raise ValueError("ROI-delta wire requires "
                              "wire_image_codec='rgb8'")
         self.cfg = cfg
         self.threshold = threshold
+        self.keyframe_interval = keyframe_interval
         self.roi_h, self.roi_w = delta_roi_shape(cfg)
-        self._prev: Optional[np.ndarray] = None
+        self._recon: Optional[np.ndarray] = None
+        self._since_key = 0
         self.keyframes = 0
         self.deltas = 0
 
-    def encode_with_prev(self, prev_u8, img_u8: np.ndarray,
-                         xyz: np.ndarray, inten: np.ndarray, count: int,
-                         has_image: bool, has_cloud: bool):
-        """STATELESS encode against an explicitly supplied previous
-        frame (prev_u8 None -> keyframe). Order-independent, so
-        prefetch workers can encode frames concurrently — each worker
-        supplies the frame its record applies to (the decode chain on
-        device is still strictly sequential). -> (keyframe: bool, buf).
-        """
+    def encode(self, img_u8: np.ndarray, xyz: np.ndarray,
+               inten: np.ndarray, count: int, has_image: bool,
+               has_cloud: bool):
+        """Encode one frame against the decoder-visible reconstruction.
+        -> (keyframe: bool, buf)."""
         from ..types import pack_delta_bytes
         cfg = self.cfg
         img_u8 = np.ascontiguousarray(img_u8, np.uint8)
         fits = False
         y0 = x0 = 0
-        if prev_u8 is not None:
+        due = (self._recon is None
+               or self._since_key >= self.keyframe_interval)
+        if not due:
             diff = np.abs(img_u8.astype(np.int16)
-                          - prev_u8.astype(np.int16)).max(axis=-1)
+                          - self._recon.astype(np.int16)).max(axis=-1)
             ys, xs = np.nonzero(diff > self.threshold)
             if ys.size == 0:
                 y0 = x0 = 0
@@ -121,23 +133,19 @@ class PackedDeltaEncoder:
                 fits = True
         if fits:
             roi = img_u8[y0:y0 + self.roi_h, x0:x0 + self.roi_w]
+            # mirror the device decoder: patch ONLY the ROI into the
+            # carried reconstruction (types.unpack_delta)
+            self._recon[y0:y0 + self.roi_h, x0:x0 + self.roi_w] = roi
+            self._since_key += 1
             self.deltas += 1
             return False, pack_delta_bytes(roi, y0, x0, xyz, inten,
                                            count, has_image, has_cloud,
                                            cfg)
+        self._recon = img_u8.copy()
+        self._since_key = 0
         self.keyframes += 1
         return True, Obs.pack_bytes(img_u8, xyz, inten, count,
                                     has_image, has_cloud, cfg)
-
-    def encode(self, img_u8: np.ndarray, xyz: np.ndarray,
-               inten: np.ndarray, count: int, has_image: bool,
-               has_cloud: bool):
-        """Stateful convenience wrapper (sequential callers): diffs
-        against the last encoded frame. -> (keyframe: bool, buf)."""
-        prev, self._prev = self._prev, np.ascontiguousarray(img_u8,
-                                                            np.uint8)
-        return self.encode_with_prev(prev, self._prev, xyz, inten,
-                                     count, has_image, has_cloud)
 
 
 def replay_delta(engine: Engine, scene: SyntheticScene, n_steps: int,
@@ -146,9 +154,12 @@ def replay_delta(engine: Engine, scene: SyntheticScene, n_steps: int,
     """Per-frame realtime-capable replay over the ROI-delta wire
     (Engine.call_packed_delta): same output semantics as `replay`
     (every frame published, one dispatch per frame), ~4x fewer wire
-    bytes per delta record. The encoder runs in the prefetch workers;
-    the returned ReplayResult carries the keyframe/delta split in
-    .stats via the encoder counters (delta_encoder attribute)."""
+    bytes per delta record. Prefetch workers render/pack frames; the
+    consumer loop runs the (sequential, reconstruction-carrying)
+    encoder — so the counters and the decoder-visible diff are both
+    single-threaded. The returned ReplayResult carries the
+    keyframe/delta split via the encoder counters (delta_encoder
+    attribute)."""
     import concurrent.futures
 
     cfg = engine.cfg
@@ -160,16 +171,7 @@ def replay_delta(engine: Engine, scene: SyntheticScene, n_steps: int,
         ox, oi, n, dropped = PointCloud.pack_host(xyz, None,
                                                   cfg.max_points)
         img = np.clip(scene.image_at(i * period), 0, 255).astype(np.uint8)
-        # stateless: each worker renders the frame its delta applies to
-        # (order-independent, ~1 ms — the sequential decode chain lives
-        # on the device side)
-        prev_img = None
-        if i > 0:
-            prev_img = np.clip(scene.image_at((i - 1) * period), 0,
-                               255).astype(np.uint8)
-        key, buf = enc.encode_with_prev(prev_img, img, ox, oi, n, True,
-                                        n > 0)
-        return key, buf, dropped
+        return img, ox, oi, n, dropped
 
     state = engine.init_state()
     prev = jnp.zeros((cfg.camera_image_height, cfg.camera_image_width,
@@ -181,7 +183,8 @@ def replay_delta(engine: Engine, scene: SyntheticScene, n_steps: int,
                    for i in range(min(prefetch, n_steps))}
         t_start = time.perf_counter()
         for i in range(n_steps):
-            key, buf, dropped = futures.pop(i).result()
+            img, ox, oi, n, dropped = futures.pop(i).result()
+            key, buf = enc.encode(img, ox, oi, n, True, n > 0)
             j = i + prefetch
             if j < n_steps:
                 futures[j] = pool.submit(gen, j)

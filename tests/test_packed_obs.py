@@ -241,3 +241,48 @@ def test_replay_delta_matches_per_frame():
     np.testing.assert_array_equal(
         np.asarray(res_a.final_state.log_odds),
         np.asarray(res_b.final_state.log_odds))
+
+def test_delta_encoder_drift_bounded():
+    """Sub-threshold global drift (1 level/frame, never exceeding the
+    per-frame threshold vs the TRUE previous frame) must not accumulate
+    unboundedly: the encoder diffs against the DECODER-VISIBLE
+    reconstruction, so accumulated residual > threshold forces a
+    keyframe and the decoder's frame stays within `threshold` grey
+    levels of truth at every step."""
+    from grid_vision_tpu.runtime.stream import PackedDeltaEncoder
+    from grid_vision_tpu.types import unpack_delta
+    cfg = small_cfg()
+    enc = PackedDeltaEncoder(cfg, threshold=2)
+    h, w = cfg.camera_image_height, cfg.camera_image_width
+    xyz = np.full((cfg.max_points, 3), PointCloud.PAD_SENTINEL,
+                  np.float32)
+    inten = np.zeros((cfg.max_points,), np.float32)
+    recon = np.zeros((h, w, 3), np.uint8)
+    unpack = jax.jit(lambda b, p: unpack_delta(b, p, cfg))
+    for i in range(12):
+        img = np.full((h, w, 3), 10 * (i + 1) // 10 + i, np.uint8)
+        key, buf = enc.encode(img, xyz, inten, 0, True, False)
+        if key:
+            obs = jax.jit(lambda b: Obs.unpack(b, cfg))(jnp.asarray(buf))
+        else:
+            obs = unpack(jnp.asarray(buf), jnp.asarray(recon))
+        recon = np.asarray(obs.image)
+        err = np.abs(recon.astype(np.int16) - img.astype(np.int16)).max()
+        assert err <= enc.threshold, (i, err)
+    assert enc.keyframes >= 2  # drift periodically forced a resync
+
+
+def test_delta_encoder_periodic_keyframe():
+    """A static scene still re-keys every keyframe_interval records."""
+    from grid_vision_tpu.runtime.stream import PackedDeltaEncoder
+    cfg = small_cfg()
+    enc = PackedDeltaEncoder(cfg, keyframe_interval=4)
+    img = np.full((cfg.camera_image_height, cfg.camera_image_width, 3),
+                  7, np.uint8)
+    xyz = np.full((cfg.max_points, 3), PointCloud.PAD_SENTINEL,
+                  np.float32)
+    inten = np.zeros((cfg.max_points,), np.float32)
+    keys = [enc.encode(img, xyz, inten, 0, True, False)[0]
+            for _ in range(10)]
+    assert keys == [True, False, False, False, False,
+                    True, False, False, False, False]
