@@ -216,6 +216,12 @@ def main():
     # the fleet path calls the detector un-vmapped, satisfying the
     # kernel's no-vmap rule. GV_BENCH_STEM=xla restores plain convs.
     stem = os.environ.get("GV_BENCH_STEM", "pallas")
+    # Fused Pallas orientation front end (ops/pallas_orient.py):
+    # crop+standardize+s2d ConvBN_0 in one VMEM kernel. Interleaved A/B
+    # at the 64-rig vision fleet shape: 6725 vs 6191 median fused fps
+    # (+8.6%, 8 tight windows each; tools/bench_orient_ab.py, round 5).
+    # GV_BENCH_ORIENT_STEM=xla restores the einsum crop chain.
+    orient_stem = os.environ.get("GV_BENCH_ORIENT_STEM", "pallas")
     # max_static_depth=16: the static-compacted kNN (a round-3 perf win;
     # compaction is opt-in since the config default moved to
     # max_detections for reference parity). The scene pool's static
@@ -231,6 +237,7 @@ def main():
     odtype = os.environ.get("GV_BENCH_ORIENT_DTYPE", "follow")
     cfg = GridVisionConfig(max_points=8192, compute_dtype="bfloat16",
                            knn_backend=knn, detector_stem_backend=stem,
+                           orientation_stem_backend=orient_stem,
                            max_static_depth=16, orientation_compute=odtype,
                            detection_weights_file="weights/detector.npz",
                            vision_weights_file="weights/orientation.npz")
