@@ -47,10 +47,24 @@ class TrackConfig:
     iou_min: minimum predicted-box IoU to accept a match.
     class_gated: require label equality for a match (a car detection
       never extends a person track).
-    max_misses: consecutive unmatched frames before a track is killed
-      (it coasts on its velocity until then).
+    max_misses: consecutive unmatched frames before a track stops being
+      reported (it coasts on its velocity until then).
     min_hits: matches needed before a track counts as confirmed
       (suppresses one-frame false positives in confirmed()).
+    purgatory: extra frames past max_misses a LOST track is retained
+      for motion-gated re-acquisition before its slot is freed. A lost
+      track is invisible to consumers (confirmed() excludes it) and no
+      longer competes in IoU matching (its pixel box is stale), but it
+      keeps coasting in 3D; an unmatched detection whose 3D position
+      falls inside the track's miss-scaled gate resumes the SAME id.
+      Occlusion episodes in the MOT replays run ~12 frames — longer
+      than any sane max_misses — and were the dominant IDSW source
+      (docs/QUALITY.md tracking section). 0 disables (round-4
+      behavior: kill at max_misses).
+    reacq_radius / reacq_radius_rate: 3D re-acquisition gate
+      radius(t_lost) = reacq_radius + reacq_radius_rate * t_lost
+      meters, t_lost = misses * dt — constant-velocity prediction
+      error grows with time, so the gate does too.
     spawn_confidence: minimum detection confidence to open a new track.
     pos_gain / vel_gain: alpha-beta filter gains for the 3D state —
       position takes pos_gain of the innovation, velocity integrates
@@ -74,6 +88,9 @@ class TrackConfig:
     pos_gain: float = 0.5
     vel_gain: float = 0.1
     box_vel_alpha: float = 0.5
+    purgatory: int = 15
+    reacq_radius: float = 1.5
+    reacq_radius_rate: float = 2.0
 
 
 @pytree_dataclass
@@ -134,8 +151,14 @@ class TrackState:
         return self.xyxy.shape[-2]
 
     def confirmed(self, tcfg: TrackConfig) -> jnp.ndarray:
-        """(T,) bool: live tracks with enough history to trust."""
-        return self.valid & (self.hits >= tcfg.min_hits)
+        """(T,) bool: live tracks with enough history to trust.
+
+        Excludes LOST tracks (misses > max_misses): a slot coasting in
+        re-acquisition purgatory is tracker-internal state, not a
+        reportable object — its stale box must not render, forecast,
+        or count as a false positive."""
+        return (self.valid & (self.hits >= tcfg.min_hits)
+                & (self.misses <= tcfg.max_misses))
 
 
 @pytree_dataclass
@@ -147,6 +170,7 @@ class TrackStats:
     spawned: jnp.ndarray
     killed: jnp.ndarray
     spawn_dropped: jnp.ndarray  # unmatched detections lost to a full table
+    reacquired: jnp.ndarray     # lost tracks resumed by the 3D gate
 
 
 def cross_iou(a_xyxy: jnp.ndarray, b_xyxy: jnp.ndarray) -> jnp.ndarray:
@@ -282,7 +306,12 @@ def update_tracks(tracks: TrackState, out: StepOutput, dt,
     # --- predict + match -------------------------------------------------
     pred_xyxy = tracks.xyxy + tracks.vel_px * dt
     iou = cross_iou(pred_xyxy, boxes.xyxy)
-    gate = tracks.valid[:, None] & boxes.valid[None, :]
+    # LOST tracks (in re-acquisition purgatory) sit out the IoU stage:
+    # after max_misses frames of pixel-space coasting the predicted box
+    # is stale enough to steal detections from live tracks. They can
+    # only return through the 3D re-acquisition gate below.
+    lost_pre = tracks.misses > tcfg.max_misses
+    gate = (tracks.valid & ~lost_pre)[:, None] & boxes.valid[None, :]
     if tcfg.class_gated:
         gate &= tracks.label[:, None] == boxes.label[None, :]
     gate &= iou >= tcfg.iou_min
@@ -322,7 +351,7 @@ def update_tracks(tracks: TrackState, out: StepOutput, dt,
 
     # --- unmatched tracks: coast, then kill --------------------------------
     coast = tracks.valid & ~matched
-    killed = coast & (tracks.misses + 1 > tcfg.max_misses)
+    killed = coast & (tracks.misses + 1 > tcfg.max_misses + tcfg.purgatory)
     alive = (tracks.valid & ~killed)
 
     def pick(m, on_match, on_coast):
@@ -351,11 +380,73 @@ def update_tracks(tracks: TrackState, out: StepOutput, dt,
         next_id=tracks.next_id,
     )
 
+    # --- re-acquire lost tracks through the 3D motion gate ------------------
+    # An occlusion episode longer than max_misses used to mint a new id
+    # on re-emergence (IDSW). Here unmatched detections first try to
+    # resume a LOST track: same class, detection 3D position within the
+    # track's coasted constant-velocity prediction's miss-scaled gate.
+    # Pure fixed-shape second greedy pass — scan/vmap-safe.
+    dmatch2 = jnp.full((d_cap,), -1, jnp.int32)
+    rematched = jnp.zeros((t_cap,), bool)
+    if tcfg.purgatory > 0:
+        lost_now = upd.valid & (upd.misses > tcfg.max_misses) \
+            & upd.has_pose
+        cand = boxes.valid & (dmatch < 0) & det_hasp \
+            & (boxes.confidence >= tcfg.spawn_confidence)
+        # upd.position already carries this frame's coast step, so it IS
+        # the CV prediction at the detection's time.
+        t_lost = upd.misses.astype(jnp.float32) * dt
+        radius = tcfg.reacq_radius + tcfg.reacq_radius_rate * t_lost
+        dist = jnp.linalg.norm(
+            upd.position[:, None, :] - det_pos[None, :, :], axis=-1)
+        rgate = lost_now[:, None] & cand[None, :]
+        if tcfg.class_gated:
+            rgate &= upd.label[:, None] == boxes.label[None, :]
+        rgate &= dist < radius[:, None]
+        tmatch2, dmatch2 = match_fn(
+            jnp.where(rgate, radius[:, None] - dist + 1e-6, -1.0))
+        rematched = tmatch2 >= 0
+        j2 = jnp.clip(tmatch2, 0, d_cap - 1)
+        # measurement update over the whole lost gap: position blends
+        # the innovation at pos_gain; velocity corrects by the gap-mean
+        # innovation rate at vel_gain (alpha-beta with dt = t_lost).
+        innov2 = det_pos[j2] - upd.position
+        gap = jnp.maximum(t_lost, dt)
+        pos_r = upd.position + tcfg.pos_gain * innov2
+        vel_r = upd.velocity + (tcfg.vel_gain / gap)[:, None] * innov2
+
+        def re(field, value):
+            m = rematched.reshape((-1,) + (1,) * (field.ndim - 1))
+            return jnp.where(m, value, field)
+
+        upd = TrackState(
+            xyxy=re(upd.xyxy, boxes.xyxy[j2]),
+            # pixel velocity is stale after the gap; restart from zero
+            # (hits<=1 fast-relock doesn't apply — take the next frame
+            # delta at box_vel_alpha like any established track)
+            vel_px=re(upd.vel_px, jnp.zeros((t_cap, 4), jnp.float32)),
+            position=re(upd.position, pos_r),
+            velocity=re(upd.velocity, vel_r),
+            quat=re(upd.quat, det_quat[j2]),
+            length=re(upd.length, det_dims[j2, 0]),
+            width=re(upd.width, det_dims[j2, 1]),
+            height=re(upd.height, det_dims[j2, 2]),
+            label=upd.label,
+            confidence=re(upd.confidence, boxes.confidence[j2]),
+            id=upd.id,
+            hits=upd.hits + rematched.astype(jnp.int32),
+            misses=jnp.where(rematched, 0, upd.misses),
+            age=upd.age,
+            valid=upd.valid,
+            has_pose=upd.has_pose,
+            next_id=upd.next_id,
+        )
+
     # --- spawn unmatched detections into free slots ------------------------
     free = ~alive                                        # (T,)
     free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1   # rank among free
     n_free = jnp.sum(free.astype(jnp.int32))
-    spawnable = (boxes.valid & (dmatch < 0)
+    spawnable = (boxes.valid & (dmatch < 0) & (dmatch2 < 0)
                  & (boxes.confidence >= tcfg.spawn_confidence))
     n_spawnable = jnp.sum(spawnable.astype(jnp.int32))
     sp_key = jnp.where(spawnable, -boxes.confidence, jnp.inf)
@@ -393,6 +484,7 @@ def update_tracks(tracks: TrackState, out: StepOutput, dt,
         spawned=n_spawned,
         killed=jnp.sum(killed.astype(jnp.int32)),
         spawn_dropped=jnp.maximum(n_spawnable - n_free, 0),
+        reacquired=jnp.sum(rematched.astype(jnp.int32)),
     )
     return new, stats
 

@@ -134,7 +134,9 @@ def test_match_is_class_gated():
 # ---------------------------------------------------------------------------
 
 def test_coast_and_kill():
-    tcfg = TrackConfig(capacity=4, max_misses=3, min_hits=1)
+    # purgatory=0 pins the pre-reacquisition lifecycle: kill AT
+    # max_misses (test_reacquisition_* cover purgatory > 0)
+    tcfg = TrackConfig(capacity=4, max_misses=3, min_hits=1, purgatory=0)
     upd = jax.jit(functools.partial(update_tracks, cfg=CFG, tcfg=tcfg))
     tracks = TrackState.create(tcfg)
     # two observations moving +20 px/frame in x to establish velocity
@@ -166,6 +168,89 @@ def test_coast_and_kill():
     tracks, _ = upd(tracks, _output(_boxes([([10, 10, 50, 50], 0.9, 9)])),
                     1.0)
     assert int(tracks.id[np.asarray(tracks.valid).argmax()]) > tid
+
+
+def test_reacquisition_keeps_id():
+    """A track lost past max_misses is re-acquired through the 3D
+    motion gate with the SAME id (no IDSW) while it stays invisible to
+    confirmed() during the purgatory window."""
+    tcfg = TrackConfig(capacity=4, max_misses=2, min_hits=1,
+                       purgatory=10)
+    upd = jax.jit(functools.partial(update_tracks, cfg=CFG, tcfg=tcfg))
+    tracks = TrackState.create(tcfg)
+    # two observations at 1 m/s in x establish the 3D velocity
+    for k in range(2):
+        tracks, _ = upd(tracks, _output(
+            _boxes([([10, 10, 50, 50], 0.9, 9)]),
+            positions=[[5.0 + k, 0, 0]]), 1.0)
+    i = int(np.asarray(tracks.valid).argmax())
+    tid = int(tracks.id[i])
+    # occlusion: 5 empty frames — past max_misses, inside purgatory
+    empty = _output(_boxes([]))
+    for k in range(5):
+        tracks, stats = upd(tracks, empty, 1.0)
+        assert int(stats.killed) == 0
+        assert int(jnp.sum(tracks.valid)) == 1  # slot retained
+        if int(tracks.misses[i]) > tcfg.max_misses:
+            assert not bool(tracks.confirmed(tcfg)[i])  # lost: hidden
+    # re-emerge near the constant-velocity prediction (pos [12,0,0]
+    # after this frame's coast), with a drifted pixel box that would
+    # fail any IoU gate — only the 3D gate can resume it
+    out = _output(_boxes([([300, 10, 340, 50], 0.9, 9)]),
+                  positions=[[11.5, 0, 0]])
+    tracks, stats = upd(tracks, out, 1.0)
+    assert int(stats.reacquired) == 1
+    assert int(stats.spawned) == 0
+    assert int(jnp.sum(tracks.valid)) == 1
+    assert int(tracks.id[i]) == tid            # identity preserved
+    assert int(tracks.misses[i]) == 0
+    assert bool(tracks.confirmed(tcfg)[i])     # reportable again
+    np.testing.assert_allclose(np.asarray(tracks.xyxy)[i],
+                               [300, 10, 340, 50], atol=1e-3)
+
+
+def test_reacquisition_class_and_radius_gated():
+    tcfg = TrackConfig(capacity=4, max_misses=1, min_hits=1,
+                       purgatory=10, reacq_radius=1.0,
+                       reacq_radius_rate=0.0)
+    upd = jax.jit(functools.partial(update_tracks, cfg=CFG, tcfg=tcfg))
+
+    def lose_one():
+        tr = TrackState.create(tcfg)
+        for k in range(2):
+            tr, _ = upd(tr, _output(_boxes([([10, 10, 50, 50], 0.9, 9)]),
+                                    positions=[[5.0, 0, 0]]), 1.0)
+        for _ in range(3):       # static object, now lost (misses 3 > 1)
+            tr, _ = upd(tr, _output(_boxes([])), 1.0)
+        return tr, int(tr.id[int(np.asarray(tr.valid).argmax())])
+
+    # wrong class inside the radius: spawns a NEW track instead
+    tracks, tid = lose_one()
+    out = _output(_boxes([([10, 10, 50, 50], 0.9, 2)]),
+                  positions=[[5.0, 0, 0]])
+    tracks, stats = upd(tracks, out, 1.0)
+    assert int(stats.reacquired) == 0 and int(stats.spawned) == 1
+    # right class outside the radius: also a new track
+    tracks, tid = lose_one()
+    out = _output(_boxes([([10, 10, 50, 50], 0.9, 9)]),
+                  positions=[[8.0, 0, 0]])
+    tracks, stats = upd(tracks, out, 1.0)
+    assert int(stats.reacquired) == 0 and int(stats.spawned) == 1
+
+
+def test_purgatory_expiry_kills():
+    tcfg = TrackConfig(capacity=4, max_misses=1, min_hits=1, purgatory=3)
+    upd = jax.jit(functools.partial(update_tracks, cfg=CFG, tcfg=tcfg))
+    tracks = TrackState.create(tcfg)
+    tracks, _ = upd(tracks, _output(_boxes([([10, 10, 50, 50], 0.9, 9)]),
+                                    positions=[[5.0, 0, 0]]), 1.0)
+    empty = _output(_boxes([]))
+    for k in range(4):           # misses 1..4 <= max_misses + purgatory
+        tracks, stats = upd(tracks, empty, 1.0)
+        assert int(stats.killed) == 0
+    tracks, stats = upd(tracks, empty, 1.0)   # misses 5 > 4: expire
+    assert int(stats.killed) == 1
+    assert int(jnp.sum(tracks.valid)) == 0
 
 
 def test_spawn_overflow_and_priority():
