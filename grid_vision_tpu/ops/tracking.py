@@ -65,6 +65,12 @@ class TrackConfig:
       radius(t_lost) = reacq_radius + reacq_radius_rate * t_lost
       meters, t_lost = misses * dt — constant-velocity prediction
       error grows with time, so the gate does too.
+    occl_coast_iou: a lost track stays REPORTED through purgatory while
+      its coasted box overlaps a nearer reported track's box above this
+      IoU (occlusion evidence: the object is behind the occluder, not
+      gone). Identity then persists through the occlusion episode
+      instead of flickering out at max_misses and back at
+      re-acquisition. 0 disables (lost tracks always hidden).
     spawn_confidence: minimum detection confidence to open a new track.
     pos_gain / vel_gain: alpha-beta filter gains for the 3D state —
       position takes pos_gain of the innovation, velocity integrates
@@ -88,9 +94,11 @@ class TrackConfig:
     pos_gain: float = 0.5
     vel_gain: float = 0.1
     box_vel_alpha: float = 0.5
-    purgatory: int = 15
+    purgatory: int = 40
     reacq_radius: float = 1.5
     reacq_radius_rate: float = 2.0
+    occl_coast_iou: float = 0.0
+    match_depth_scale: float = 2.0
 
 
 @pytree_dataclass
@@ -153,12 +161,28 @@ class TrackState:
     def confirmed(self, tcfg: TrackConfig) -> jnp.ndarray:
         """(T,) bool: live tracks with enough history to trust.
 
-        Excludes LOST tracks (misses > max_misses): a slot coasting in
-        re-acquisition purgatory is tracker-internal state, not a
-        reportable object — its stale box must not render, forecast,
-        or count as a false positive."""
-        return (self.valid & (self.hits >= tcfg.min_hits)
-                & (self.misses <= tcfg.max_misses))
+        LOST tracks (misses > max_misses) are normally excluded: a slot
+        coasting in re-acquisition purgatory is tracker-internal state,
+        not a reportable object — its stale box must not render,
+        forecast, or count as a false positive. The one exception
+        (occl_coast_iou > 0) is a lost track whose coasted box still
+        heavily overlaps a NEARER reported track: the overlap is
+        occlusion evidence (the object is hidden behind the occluder,
+        not gone), so identity keeps being reported through the episode
+        instead of flickering out and back. The gate is self-limiting —
+        the moment the coasted box slides off the occluder (object and
+        occluder diverge, or the coast drifts) reporting stops."""
+        live = self.valid & (self.hits >= tcfg.min_hits)
+        reported = live & (self.misses <= tcfg.max_misses)
+        if tcfg.purgatory > 0 and tcfg.occl_coast_iou > 0.0:
+            lost = live & (self.misses > tcfg.max_misses) & self.has_pose
+            iou = cross_iou(self.xyxy, self.xyxy)
+            dist = jnp.linalg.norm(self.position, axis=-1)
+            occluder = (reported[None, :] & self.has_pose[None, :]
+                        & (dist[None, :] < dist[:, None])
+                        & (iou > tcfg.occl_coast_iou))
+            reported |= lost & jnp.any(occluder, axis=1)
+        return reported
 
 
 @pytree_dataclass
@@ -315,8 +339,24 @@ def update_tracks(tracks: TrackState, out: StepOutput, dt,
     if tcfg.class_gated:
         gate &= tracks.label[:, None] == boxes.label[None, :]
     gate &= iou >= tcfg.iou_min
+    score = iou
+    if tcfg.match_depth_scale > 0.0:
+        # 3D disambiguation: two same-class objects crossing in pixel
+        # space overlap both predicted boxes (the IoU-only ID-swap
+        # trap), but are depth-separated in 3D. Attenuate the IoU score
+        # by the track-prediction-to-detection 3D distance where BOTH
+        # sides carry a pose — pairs without pose keep the pure-IoU
+        # score, and the gate (iou >= iou_min) is unchanged, so this
+        # only reorders eligible pairs, never adds or removes any.
+        pred_pos = tracks.position + tracks.velocity * dt
+        d3 = jnp.linalg.norm(pred_pos[:, None, :] - det_pos[None, :, :],
+                             axis=-1)
+        both = tracks.has_pose[:, None] & det_hasp[None, :]
+        score = jnp.where(both,
+                          iou * jnp.exp(-d3 / tcfg.match_depth_scale),
+                          iou)
     # iou_min may be 0; bias scores positive so gated pairs are > 0.
-    tmatch, dmatch = match_fn(jnp.where(gate, iou + 1e-6, -1.0))
+    tmatch, dmatch = match_fn(jnp.where(gate, score + 1e-6, -1.0))
     matched = tmatch >= 0
     j = jnp.clip(tmatch, 0, d_cap - 1)          # det index per track slot
 

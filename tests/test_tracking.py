@@ -253,6 +253,77 @@ def test_purgatory_expiry_kills():
     assert int(jnp.sum(tracks.valid)) == 0
 
 
+def test_match_depth_disambiguates_crossing():
+    """Two same-class tracks whose predicted boxes both overlap both
+    detections (a pixel-space crossing) are assigned by 3D proximity
+    when match_depth_scale > 0 — the ID-swap trap the pure-IoU matcher
+    falls into (MOT A/B: aggregate IDSW 251 -> 185, IDF1 0.576 ->
+    0.658; docs/QUALITY.md)."""
+    tcfg = TrackConfig(capacity=4, min_hits=1, iou_min=0.1)
+    upd = jax.jit(functools.partial(update_tracks, cfg=CFG, tcfg=tcfg))
+    tracks = TrackState.create(tcfg)
+    # two stationary tracks at the same pixel box but different depths
+    out = _output(_boxes([([10, 10, 50, 50], 0.9, 9),
+                          ([12, 10, 52, 50], 0.9, 9)]),
+                  positions=[[5.0, 0, 0], [15.0, 0, 0]])
+    tracks, _ = upd(tracks, out, 1.0)
+    ids = np.asarray(tracks.id)[np.asarray(tracks.valid)]
+    near_id, far_id = (int(ids[0]), int(ids[1]))
+    # next frame: boxes nearly coincide; 3D positions stay separated.
+    # Present the detections in SWAPPED slot order so a pure-IoU tie
+    # would cross-assign.
+    out2 = _output(_boxes([([12, 10, 52, 50], 0.9, 9),
+                           ([10, 10, 50, 50], 0.9, 9)]),
+                   positions=[[15.2, 0, 0], [5.1, 0, 0]])
+    tracks, stats = upd(tracks, out2, 1.0)
+    assert int(stats.matched) == 2
+    pos = np.asarray(tracks.position)
+    idarr = np.asarray(tracks.id)
+    # the near track (id near_id) must still hold the ~5 m position
+    i_near = int(np.flatnonzero(idarr == near_id)[0])
+    i_far = int(np.flatnonzero(idarr == far_id)[0])
+    assert abs(pos[i_near, 0] - 5.1) < 1.0, pos
+    assert abs(pos[i_far, 0] - 15.2) < 1.0, pos
+
+
+def test_occl_coast_reporting_gate():
+    """With occl_coast_iou > 0 a LOST track stays confirmed while its
+    coasted box overlaps a NEARER reported track (occlusion evidence),
+    and drops out when the overlap ends. Default is 0 (off): the MOT
+    A/B measured it negative on the replay suite (coasted boxes drift
+    off the occluded GT: FP +66, IDF1 0.565 -> 0.560) — kept as a
+    tested non-default mechanism."""
+    tcfg = TrackConfig(capacity=4, max_misses=1, min_hits=1,
+                       purgatory=10, occl_coast_iou=0.25, iou_min=0.1)
+    upd = jax.jit(functools.partial(update_tracks, cfg=CFG, tcfg=tcfg))
+    tracks = TrackState.create(tcfg)
+    # far track (to be occluded) + near occluder, same pixel region
+    out = _output(_boxes([([10, 10, 50, 50], 0.9, 9),
+                          ([8, 8, 52, 52], 0.9, 9)]),
+                  positions=[[20.0, 0, 0], [6.0, 0, 0]])
+    tracks, _ = upd(tracks, out, 1.0)
+    far = int(np.asarray(jnp.argmax(tracks.position[:, 0])))
+    # occluder keeps being detected; far object vanishes behind it
+    occ_only = _output(_boxes([([8, 8, 52, 52], 0.9, 9)]),
+                       positions=[[6.0, 0, 0]])
+    for _ in range(3):            # misses 1..3 > max_misses=1: LOST
+        tracks, _ = upd(tracks, occ_only, 1.0)
+    assert int(tracks.misses[far]) > tcfg.max_misses
+    assert bool(tracks.confirmed(tcfg)[far])          # occluded: kept
+    # with the gate off it is hidden (the shipped default)
+    assert not bool(tracks.confirmed(
+        TrackConfig(capacity=4, max_misses=1, min_hits=1, purgatory=10,
+                    occl_coast_iou=0.0, iou_min=0.1))[far])
+    # occluder slides away (staying IoU-matched each step) until its
+    # box no longer overlaps the far track's coast -> reporting stops
+    for x0 in (30, 60, 110):
+        moved = _output(_boxes([([x0, 8, x0 + 44, 52], 0.9, 9)]),
+                        positions=[[6.0, 0.5, 0]])
+        tracks, stats = upd(tracks, moved, 1.0)
+        assert int(stats.matched) == 1
+    assert not bool(tracks.confirmed(tcfg)[far])
+
+
 def test_spawn_overflow_and_priority():
     tcfg = TrackConfig(capacity=4)
     rows = [([10 + 60 * i, 10, 50 + 60 * i, 50], 0.9 - 0.1 * i, 9)
@@ -533,8 +604,9 @@ def test_mot_quality_floors():
     """CLEAR-MOT floors on the canonical scripted replay (crossings +
     Markov occlusion episodes + churn, 250 frames) through the
     production update_tracks. Floors are measured-minus-margin from
-    docs/QUALITY.md's tracking table (seed 0: MOTA 0.831, IDF1 0.505,
-    78 IDSW, 80 FP, 56 FN of 1266 visible GT) — a regression that
+    docs/QUALITY.md's tracking table (seed 0 after round 5's purgatory
+    re-acquisition + 3D-attenuated matching: MOTA 0.861, IDF1 0.614,
+    44 IDSW, 98 FP, 38 FN of 1297 visible GT) — a regression that
     halves identity quality fails here."""
     from grid_vision_tpu.train import eval_tracking as et
 
@@ -544,19 +616,19 @@ def test_mot_quality_floors():
     snaps = et.run_tracker(f, cfg, TrackConfig())
     m = et.mot_metrics(f, snaps)
     assert m["n_gt"] > 1000                  # the replay is non-trivial
-    assert m["mota"] >= 0.75, m
-    assert m["idf1"] >= 0.42, m
-    assert m["id_switches"] <= 110, m
-    assert m["fp"] <= 130, m
-    assert m["fn"] <= 110, m
+    assert m["mota"] >= 0.82, m
+    assert m["idf1"] >= 0.55, m
+    assert m["id_switches"] <= 60, m
+    assert m["fp"] <= 120, m
+    assert m["fn"] <= 60, m
 
 
 def test_mot_greedy_matches_hungarian():
     """The production greedy matcher costs nothing vs the optimal
     (Hungarian) assignment on the canonical replay — the A/B that
     justifies not paying Hungarian's serialized cost in the jit
-    (measured: greedy 0.863 MOTA / 0.592 IDF1 aggregate vs Hungarian
-    0.860 / 0.576, docs/QUALITY.md)."""
+    (measured: greedy 0.867 MOTA / 0.658 IDF1 aggregate vs Hungarian
+    0.868 / 0.639, docs/QUALITY.md)."""
     from grid_vision_tpu.train import eval_tracking as et
 
     cfg = GridVisionConfig(use_vision_orientation=False)
