@@ -30,6 +30,7 @@ Design (TPU-first, everything inside the jit):
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -532,7 +533,8 @@ def update_tracks(tracks: TrackState, out: StepOutput, dt,
 def forecast_occupancy(tracks: TrackState, horizons,
                        cfg: GridVisionConfig, tcfg: TrackConfig,
                        spread_base: float = 0.2,
-                       spread_rate: float = 0.5) -> jnp.ndarray:
+                       spread_rate: float = 0.5,
+                       survival_hazard: float = 0.32) -> jnp.ndarray:
     """Predictive occupancy: where tracked objects will be.
 
     The reference's grid (and this engine's compat grid) is purely
@@ -543,7 +545,17 @@ def forecast_occupancy(tracks: TrackState, horizons,
     length x width footprint at position + velocity * h, softened by a
     positional uncertainty that grows with the horizon
     (sigma(h) = spread_base + spread_rate * h meters — constant-velocity
-    model error growth). Per-cell probabilities combine as an
+    model error growth) and discounted by exp(-survival_hazard * h) —
+    the probability the prediction still binds at t + h at all (the
+    object leaves, occludes, or the track's identity churns; without it
+    interior cells saturate at ~1 while only ~0.70 of them materialize
+    at 1 s — the round-4 top-bin overconfidence). The hazard was fit on
+    the seed-0 MOT replay (empirical/predicted top-bin ratio is
+    exp(-0.32 h) within a few percent at ALL of 0.5/1/2 s) and
+    validated on held-out seeds 1-3: top-bin reliability gap 0.26 ->
+    <= 0.1 at 1 s with skill vs persistence PRESERVED
+    (train/eval_tracking.forecast_calibration; floors in
+    tests/test_tracking.py). Per-cell probabilities combine as an
     independent union across tracks.
 
     horizons: static tuple/list of K floats (seconds).
@@ -567,6 +579,7 @@ def forecast_occupancy(tracks: TrackState, horizons,
     def one_horizon(h):
         pred = tracks.position[:, :2] + tracks.velocity[:, :2] * h
         sigma = spread_base + spread_rate * h
+        survive = math.exp(-survival_hazard * h)   # h is a static float
         rx = centers[None, ..., 0] - pred[:, 0, None, None]   # (T, H, W)
         ry = centers[None, ..., 1] - pred[:, 1, None, None]
         u = c[:, None, None] * rx + s[:, None, None] * ry
@@ -574,7 +587,7 @@ def forecast_occupancy(tracks: TrackState, horizons,
         # soft rectangle: ~1 inside, smooth roll-off over sigma meters
         pu = jax.nn.sigmoid((hl[:, None, None] - jnp.abs(u)) / sigma * 4.0)
         pv = jax.nn.sigmoid((hw[:, None, None] - jnp.abs(v)) / sigma * 4.0)
-        p = pu * pv * active[:, None, None].astype(jnp.float32)
+        p = survive * pu * pv * active[:, None, None].astype(jnp.float32)
         # independent union over tracks: 1 - prod(1 - p)
         return 1.0 - jnp.prod(1.0 - p, axis=0)
 

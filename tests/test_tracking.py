@@ -534,9 +534,15 @@ def test_forecast_occupancy_moves_with_velocity():
         er, ec = int(idx[0]), int(idx[1])
         assert abs(r - er) <= 2 and abs(c - ec) <= 2, (
             f"h={h}: mass center {(r, c)}, expected ~{(er, ec)}")
-        assert fc[k].max() > 0.9
-    # uncertainty grows with horizon: occupied mass spreads
-    assert fc[2].sum() > fc[0].sum()
+        # interior plateau = survival discount exp(-0.32 h) (the
+        # round-5 calibration fix), within the sigmoid roll-off
+        import math
+        assert fc[k].max() > 0.9 * math.exp(-0.32 * h), (h, fc[k].max())
+        assert fc[k].max() <= math.exp(-0.32 * h) + 1e-5
+    # uncertainty grows with horizon: the footprint's effective support
+    # (total mass / plateau height — the area of an equivalent hard
+    # rectangle, invariant to the survival discount) spreads
+    assert fc[2].sum() / fc[2].max() > fc[0].sum() / fc[0].max()
     # unconfirmed/empty table forecasts nothing
     fc0 = jax.jit(functools.partial(
         tracking.forecast_occupancy, horizons=(1.0,), cfg=cfg,
@@ -644,9 +650,12 @@ def test_mot_greedy_matches_hungarian():
 
 def test_forecast_calibration_beats_persistence():
     """Predictive occupancy has positive skill vs the zero-velocity
-    persistence baseline at every served horizon (the floor that keeps
-    the capability meaning something; measured +0.17/+0.32/+0.34 at
-    0.5/1/2 s — docs/QUALITY.md forecast table)."""
+    persistence baseline at every served horizon, AND is calibrated:
+    after round 5's survival-hazard discount (exp(-0.32 h), fit on this
+    seed, validated held-out on seeds 1-3 — docs/QUALITY.md forecast
+    table) every well-populated bin >= 0.5 sits within 0.1 of its
+    empirical frequency at 1 s (round 4 shipped 0.96 predicted vs 0.69
+    empirical in the top bin — overconfident by 0.27)."""
     from grid_vision_tpu.train import eval_tracking as et
 
     cfg = GridVisionConfig(use_vision_orientation=False)
@@ -655,8 +664,18 @@ def test_forecast_calibration_beats_persistence():
     tc = TrackConfig()
     snaps = et.run_tracker(f, cfg, tc)
     cal = et.forecast_calibration(f, snaps, cfg, tc,
-                                  horizons=(0.5, 1.0, 2.0), stride=15)
+                                  horizons=(0.5, 1.0, 2.0), stride=10)
     for h, r in cal.items():
         assert r["skill_vs_persistence"] > 0.0, (h, r)
     # and the 1 s forecast is not trivially diffuse: it still localizes
     assert cal[1.0]["precision"] > 0.35, cal[1.0]
+    # reliability floor (the round-4 weakness): high-probability bins
+    # must mean what they say. Small-n bins are sampling noise — gate
+    # on n_cells (measured seed-0 gaps at 1 s: <= 0.04 on all bins with
+    # n >= 2000; margin to 0.1).
+    for h in (0.5, 1.0):
+        for row in cal[h]["reliability"]:
+            lo = float(row["bin"].split("-")[0])
+            if lo >= 0.5 and row["n_cells"] >= 2000:
+                gap = abs(row["mean_pred"] - row["empirical"])
+                assert gap <= 0.1, (h, row)
