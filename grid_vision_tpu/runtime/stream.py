@@ -334,3 +334,139 @@ def replay(engine: Engine, scene: SyntheticScene, n_steps: int,
         wall = time.perf_counter() - t_start
     return ReplayResult(n_steps=n_steps, wall_s=wall, stats=stats,
                         final_state=state)
+
+
+# ---------------------------------------------------------------------------
+# adaptive wire selection (round 5, VERDICT r4 #7)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class WirePlan:
+    """The adaptive gate's decision record for one link + workload.
+
+    The ROI-delta wire trades host encoder CPU (~diff + pack per frame)
+    for wire bytes. On a fast link the bytes don't bind and the encoder
+    time is pure loss (measured on this machine's 92 MB/s tunnel:
+    delta 64.6 Hz vs full 77.5 — docs/PERF.md round-4 note); on a slow
+    link the bytes dominate and delta wins. The closed-form crossover:
+
+        delta wins  <=>  (bytes_full - bytes_delta) / bw  >  encode_s
+                    <=>  bw  <  (bytes_full - bytes_delta) / encode_s
+
+    where bytes_delta is the keyframe-mix expectation measured on real
+    frames of THIS scene (content-dependent: the ROI only fits when the
+    frame-to-frame change is localized)."""
+
+    mode: str                     # "delta" | "full"
+    link_bw_bytes_s: float        # measured (probe_link_bandwidth)
+    bytes_full: int               # one full packed frame on this cfg
+    bytes_delta_expected: float   # keyframe-mix expectation
+    keyframe_frac: float
+    encode_s: float               # host encoder seconds per frame
+    crossover_bw_bytes_s: float   # below this bandwidth, delta wins
+    est_hz_full: float            # transfer-bound estimates (device
+    est_hz_delta: float           # compute overlaps; dispatch cancels)
+
+
+def probe_link_bandwidth(reps: int = 5, big: int = 8 << 20,
+                         small: int = 1 << 12) -> float:
+    """Measure host->device link bandwidth (bytes/s).
+
+    Two-size probe: timing one transfer measures bandwidth + fixed
+    round-trip latency; timing two sizes and differencing cancels the
+    RTT (which is large and variable on this machine's tunnel —
+    CLAUDE.md). Each probe chains a tiny on-device reduce and reads the
+    scalar back, because on the axon backend block_until_ready does not
+    synchronize. Median over reps resists the tunnel's intermittent
+    degradation windows."""
+    reduce = jax.jit(lambda x: x.astype(jnp.uint32).sum())
+
+    def t_of(nbytes: int) -> float:
+        buf = np.ones(nbytes, np.uint8)
+        _ = int(jax.device_get(reduce(jnp.asarray(buf))))  # warm compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = int(jax.device_get(reduce(jnp.asarray(buf))))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_big, t_small = t_of(big), t_of(small)
+    return max(float(big - small) / max(t_big - t_small, 1e-6), 1.0)
+
+
+def plan_wire(cfg: GridVisionConfig, scene: SyntheticScene,
+              link_bw_bytes_s: float, sample: int = 16,
+              hz: float = 10.0) -> WirePlan:
+    """Choose full-frame vs ROI-delta wire for this link and scene.
+
+    Runs the real encoder over `sample` rendered frames to measure its
+    host cost and the expected keyframe/delta byte mix (both are
+    content-dependent), then applies the closed-form crossover above.
+    Pure host work — safe to run while the device is busy. A non-rgb8
+    wire codec has no delta encoder: the plan is 'full' with a zero
+    crossover."""
+    period = 1.0 / hz
+    if cfg.wire_image_codec != "rgb8":
+        xyz = scene.cloud_at(0.0)
+        ox, oi, n, _ = PointCloud.pack_host(xyz, None, cfg.max_points)
+        img = np.clip(scene.image_at(0.0), 0, 255).astype(np.uint8)
+        bytes_full = len(Obs.pack_bytes(img, ox, oi, n, True, n > 0, cfg))
+        return WirePlan(
+            mode="full", link_bw_bytes_s=float(link_bw_bytes_s),
+            bytes_full=int(bytes_full),
+            bytes_delta_expected=float(bytes_full), keyframe_frac=1.0,
+            encode_s=0.0, crossover_bw_bytes_s=0.0,
+            est_hz_full=float(link_bw_bytes_s) / bytes_full,
+            est_hz_delta=float(link_bw_bytes_s) / bytes_full)
+    enc = PackedDeltaEncoder(cfg)
+    total_bytes = 0.0
+    t_enc = 0.0
+    bytes_full = None
+    for i in range(sample):
+        xyz = scene.cloud_at(i * period)
+        ox, oi, n, _ = PointCloud.pack_host(xyz, None, cfg.max_points)
+        img = np.clip(scene.image_at(i * period), 0, 255).astype(np.uint8)
+        if bytes_full is None:
+            bytes_full = len(
+                Obs.pack_bytes(img, ox, oi, n, True, n > 0, cfg))
+        t0 = time.perf_counter()
+        _key, buf = enc.encode(img, ox, oi, n, True, n > 0)
+        t_enc += time.perf_counter() - t0
+        total_bytes += len(buf)
+    encode_s = t_enc / sample
+    bytes_delta = total_bytes / sample
+    kf = enc.keyframes / max(enc.keyframes + enc.deltas, 1)
+    saved = max(float(bytes_full) - bytes_delta, 0.0)
+    crossover = saved / max(encode_s, 1e-9)
+    est_full = 1.0 / max(bytes_full / link_bw_bytes_s, 1e-9)
+    est_delta = 1.0 / max(bytes_delta / link_bw_bytes_s + encode_s, 1e-9)
+    return WirePlan(
+        mode="delta" if link_bw_bytes_s < crossover else "full",
+        link_bw_bytes_s=float(link_bw_bytes_s),
+        bytes_full=int(bytes_full),
+        bytes_delta_expected=float(bytes_delta),
+        keyframe_frac=float(kf),
+        encode_s=float(encode_s),
+        crossover_bw_bytes_s=float(crossover),
+        est_hz_full=float(est_full),
+        est_hz_delta=float(est_delta),
+    )
+
+
+def replay_auto(engine: Engine, scene: SyntheticScene, n_steps: int,
+                hz: float = 10.0, link_bw_bytes_s: float | None = None,
+                **kw):
+    """Per-frame replay with the wire chosen by plan_wire.
+
+    Probes the link unless a bandwidth is given, plans against THIS
+    scene's content, then dispatches to replay (full frames) or
+    replay_delta (ROI-delta records). Returns (plan, ReplayResult)."""
+    if link_bw_bytes_s is None:
+        link_bw_bytes_s = probe_link_bandwidth()
+    plan = plan_wire(engine.cfg, scene, link_bw_bytes_s, hz=hz)
+    if plan.mode == "delta":
+        res = replay_delta(engine, scene, n_steps, hz=hz, **kw)
+    else:
+        res = replay(engine, scene, n_steps, hz=hz, **kw)
+    return plan, res

@@ -286,3 +286,68 @@ def test_delta_encoder_periodic_keyframe():
             for _ in range(10)]
     assert keys == [True, False, False, False, False,
                     True, False, False, False, False]
+
+
+def test_plan_wire_gate_and_crossover():
+    """The adaptive wire gate (round 5, VERDICT r4 #7): delta is chosen
+    exactly when the measured link bandwidth is below the closed-form
+    crossover (bytes saved per frame / encoder seconds per frame), and
+    the plan's byte/timing fields are self-consistent."""
+    from grid_vision_tpu.runtime.stream import plan_wire
+    cfg = small_cfg()
+    scene = SyntheticScene(cfg, seed=2)
+    scene.add_default_traffic()
+
+    # a crawling link (1 MB/s): transfer dominates -> delta
+    slow = plan_wire(cfg, scene, 1e6, sample=8)
+    assert slow.bytes_delta_expected < slow.bytes_full
+    assert slow.keyframe_frac < 1.0
+    assert slow.mode == "delta", slow
+    # an effectively infinite link: encoder cost is pure loss -> full
+    fast = plan_wire(cfg, scene, 1e12, sample=8)
+    assert fast.mode == "full", fast
+    # the boundary is the crossover field (encode_s is a wall-time
+    # measurement, so the crossover jitters run to run — test with 4x
+    # margins, not at the knife edge)
+    below = plan_wire(cfg, scene, slow.crossover_bw_bytes_s / 4,
+                      sample=8)
+    above = plan_wire(cfg, scene, slow.crossover_bw_bytes_s * 4,
+                      sample=8)
+    assert below.mode == "delta" and above.mode == "full"
+    # estimates: on the slow link delta must predict higher Hz
+    assert slow.est_hz_delta > slow.est_hz_full
+
+
+def test_plan_wire_non_rgb8_is_full():
+    """No delta encoder exists for the yuv420 wire: the plan must fall
+    back to 'full' with a zero crossover instead of raising."""
+    import dataclasses as dc
+    from grid_vision_tpu.runtime.stream import plan_wire
+    cfg = dc.replace(small_cfg(), wire_image_codec="yuv420")
+    scene = SyntheticScene(cfg, seed=2)
+    scene.add_default_traffic()
+    plan = plan_wire(cfg, scene, 1.0, sample=4)   # even a 1 B/s link
+    assert plan.mode == "full"
+    assert plan.crossover_bw_bytes_s == 0.0
+
+
+def test_replay_auto_dispatches_by_plan():
+    """replay_auto picks the delta path on a slow link and the full
+    path on a fast one, and both produce the same final grid as the
+    plain per-frame replay (the wires are exact)."""
+    from grid_vision_tpu.runtime.stream import replay_auto
+    cfg = small_cfg()
+
+    def run(bw):
+        eng = pipeline.Engine(cfg, extrinsics=default_extrinsics(),
+                              seed=0)
+        scene = SyntheticScene(cfg, seed=2)
+        scene.add_default_traffic()
+        return replay_auto(eng, scene, n_steps=6, link_bw_bytes_s=bw)
+
+    plan_slow, res_slow = run(1e5)
+    plan_fast, res_fast = run(1e12)
+    assert plan_slow.mode == "delta" and plan_fast.mode == "full"
+    np.testing.assert_array_equal(
+        np.asarray(res_slow.final_state.log_odds),
+        np.asarray(res_fast.final_state.log_odds))

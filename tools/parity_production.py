@@ -72,6 +72,9 @@ def build_engines(mode: str, args):
         compute_dtype="bfloat16",
         orientation_compute=args.orientation_compute,
         detector_stem_backend="pallas" if not args.cpu else "xla",
+        # round 5 adopted the fused Pallas orientation front end as the
+        # bench default (tools/bench_orient_ab.py: +12.5% headline)
+        orientation_stem_backend="pallas" if not args.cpu else "xla",
         max_static_depth=16,
         **common)
     # The compat-grade exact configuration parity_report.py's oracle
