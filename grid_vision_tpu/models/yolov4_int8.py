@@ -138,35 +138,101 @@ def _csp(x: jnp.ndarray, q: Dict[str, Any], blk: int, ch: int):
     return jnp.concatenate([x, x3], axis=-1), x3
 
 
-def forward_int8(qparams: Dict[str, Any], images: jnp.ndarray,
-                 cfg: YoloConfig = YoloConfig()):
-    """images (B, S, S, 3) in [0,1] -> (boxes, confs), layer-for-layer
-    the int8 twin of yolov4_tiny.forward."""
-    x = images.astype(jnp.float32)
-    x = _qconv(x, qparams["ConvBN_0"], 2)              # 208
-    x = _qconv(x, qparams["ConvBN_1"], 2)              # 104
-    x = _qconv(x, qparams["ConvBN_2"], 1)
-    x, _ = _csp(x, qparams, 0, 64)
-    x = _maxpool(x)                                    # 52
-    x = _qconv(x, qparams["ConvBN_3"], 1)
-    x, _ = _csp(x, qparams, 1, 128)
-    x = _maxpool(x)                                    # 26
-    x = _qconv(x, qparams["ConvBN_4"], 1)
-    x, fpn_tap = _csp(x, qparams, 2, 256)
-    x = _maxpool(x)                                    # 13
-    x = _qconv(x, qparams["ConvBN_5"], 1)
+def _topology(qparams: Dict[str, Any], images: jnp.ndarray,
+              cfg: YoloConfig, qconv):
+    """The shared layer graph. `qconv(x, site, layer, stride)` is the
+    quantized-conv hook: dynamic scales (forward_int8), static
+    calibrated scales (forward_int8_static), or a recording calibrator
+    (calibrate_scales) — one topology, no drift between the twins."""
 
-    neck = _qconv(x, qparams["ConvBN_6"], 1)
-    h1 = _qconv(neck, qparams["ConvBN_7"], 1)
+    def csp(x, blk, ch):
+        half = ch // 2
+        p = f"CSPBlock_{blk}/ConvBN_"
+        x1 = qconv(x[..., half:], p + "0", qparams[p + "0"], 1)
+        x2 = qconv(x1, p + "1", qparams[p + "1"], 1)
+        x3 = qconv(jnp.concatenate([x2, x1], axis=-1), p + "2",
+                   qparams[p + "2"], 1)
+        return jnp.concatenate([x, x3], axis=-1), x3
+
+    x = images.astype(jnp.float32)
+    x = qconv(x, "ConvBN_0", qparams["ConvBN_0"], 2)   # 208
+    x = qconv(x, "ConvBN_1", qparams["ConvBN_1"], 2)   # 104
+    x = qconv(x, "ConvBN_2", qparams["ConvBN_2"], 1)
+    x, _ = csp(x, 0, 64)
+    x = _maxpool(x)                                    # 52
+    x = qconv(x, "ConvBN_3", qparams["ConvBN_3"], 1)
+    x, _ = csp(x, 1, 128)
+    x = _maxpool(x)                                    # 26
+    x = qconv(x, "ConvBN_4", qparams["ConvBN_4"], 1)
+    x, fpn_tap = csp(x, 2, 256)
+    x = _maxpool(x)                                    # 13
+    x = qconv(x, "ConvBN_5", qparams["ConvBN_5"], 1)
+
+    neck = qconv(x, "ConvBN_6", qparams["ConvBN_6"], 1)
+    h1 = qconv(neck, "ConvBN_7", qparams["ConvBN_7"], 1)
     head1 = _fconv(h1, qparams["head_13"])
 
-    up = _qconv(neck, qparams["ConvBN_8"], 1)
+    up = qconv(neck, "ConvBN_8", qparams["ConvBN_8"], 1)
     b, hh, ww, cc = up.shape
     up = jax.image.resize(up, (b, hh * 2, ww * 2, cc), "nearest")
     h2 = jnp.concatenate([up, fpn_tap], axis=-1)
-    h2 = _qconv(h2, qparams["ConvBN_9"], 1)
+    h2 = qconv(h2, "ConvBN_9", qparams["ConvBN_9"], 1)
     head2 = _fconv(h2, qparams["head_26"])
     return decode(head1, head2, cfg)
+
+
+def forward_int8(qparams: Dict[str, Any], images: jnp.ndarray,
+                 cfg: YoloConfig = YoloConfig()):
+    """images (B, S, S, 3) in [0,1] -> (boxes, confs), layer-for-layer
+    the int8 twin of yolov4_tiny.forward (dynamic per-sample activation
+    scales)."""
+    return _topology(qparams, images, cfg,
+                     lambda x, _site, layer, stride: _qconv(x, layer,
+                                                            stride))
+
+
+def forward_int8_static(qparams: Dict[str, Any],
+                        act_scales: Dict[str, jnp.ndarray],
+                        images: jnp.ndarray,
+                        cfg: YoloConfig = YoloConfig()):
+    """Static-activation-scale int8 twin: every conv quantizes its
+    input with the CALIBRATED per-site scale instead of a per-sample
+    max-abs reduction. This is the semantics a fused Pallas int8
+    ladder implements (activations stored int8 between layers, requant
+    in the conv epilogue — no data-dependent scale reductions in the
+    chain), expressed in XLA so its accuracy cost is measurable on its
+    own (calibrate_scales + tests/test_int8_detector.py)."""
+
+    def qconv(x, site, layer, stride):
+        sx = act_scales[site]
+        xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, layer["wq"], window_strides=(stride, stride),
+            padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (sx * layer["sw"]) + layer["b"]
+        return jax.nn.leaky_relu(y, 0.1)
+
+    return _topology(qparams, images, cfg, qconv)
+
+
+def calibrate_scales(qparams: Dict[str, Any], image_batches,
+                     cfg: YoloConfig = YoloConfig(),
+                     headroom: float = 1.0) -> Dict[str, jnp.ndarray]:
+    """Per-site static activation scales: max-abs over the calibration
+    set at every conv input, / 127. Run OUTSIDE jit (records through a
+    python dict). headroom > 1 leaves margin for unseen inputs."""
+    maxes: Dict[str, float] = {}
+
+    def qconv(x, site, layer, stride):
+        m = float(jnp.max(jnp.abs(x)))
+        maxes[site] = max(maxes.get(site, 0.0), m)
+        return _qconv(x, layer, stride)
+
+    for images in image_batches:
+        _topology(qparams, jnp.asarray(images), cfg, qconv)
+    return {site: jnp.float32(max(m * headroom, 1e-9) / 127.0)
+            for site, m in maxes.items()}
 
 
 def _maxpool(x: jnp.ndarray) -> jnp.ndarray:

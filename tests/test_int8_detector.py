@@ -61,3 +61,30 @@ def test_config_knob():
     with pytest.raises(ValueError):
         GridVisionConfig(detector_precision="int8").validate()
     GridVisionConfig(detector_precision="int8", compat=False).validate()
+
+
+def test_static_scales_match_dynamic_quality():
+    """Static calibrated activation scales (the semantics a fused
+    Pallas int8 ladder implements — no data-dependent scale reductions
+    in the chain) track the dynamic-scale twin closely on held-out
+    images."""
+    params = _params()
+    q = yolov4_int8.quantize_detector(params["detector"])
+    rng = np.random.default_rng(1)
+    calib = [jnp.asarray(rng.uniform(0, 1, (2, 416, 416, 3))
+                         .astype(np.float32)) for _ in range(2)]
+    scales = yolov4_int8.calibrate_scales(q, calib)
+    assert set(scales) == {
+        "ConvBN_0", "ConvBN_1", "ConvBN_2", "ConvBN_3", "ConvBN_4",
+        "ConvBN_5", "ConvBN_6", "ConvBN_7", "ConvBN_8", "ConvBN_9",
+        "CSPBlock_0/ConvBN_0", "CSPBlock_0/ConvBN_1",
+        "CSPBlock_0/ConvBN_2", "CSPBlock_1/ConvBN_0",
+        "CSPBlock_1/ConvBN_1", "CSPBlock_1/ConvBN_2",
+        "CSPBlock_2/ConvBN_0", "CSPBlock_2/ConvBN_1",
+        "CSPBlock_2/ConvBN_2"}
+    img = jnp.asarray(rng.uniform(0, 1, (2, 416, 416, 3))
+                      .astype(np.float32))
+    bd, cd = yolov4_int8.forward_int8(q, img)
+    bs, cs = yolov4_int8.forward_int8_static(q, scales, img)
+    assert float(jnp.mean(jnp.abs(bd - bs))) < 5e-3
+    assert float(jnp.mean(jnp.abs(cd - cs))) < 1e-2
