@@ -86,7 +86,7 @@ def main():
     ap.add_argument("--k", type=int, default=2304)  # 9 * 256 (3x3 conv)
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--bm", type=int, default=512)
-    ap.add_argument("--bk", type=int, default=576)
+    ap.add_argument("--bk", type=int, default=384)  # must be mult of 128
     ap.add_argument("--bn", type=int, default=256)
     ap.add_argument("--iters", type=int, default=16)
     ap.add_argument("--groups", type=int, default=8)
