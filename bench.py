@@ -216,12 +216,14 @@ def main():
     # the fleet path calls the detector un-vmapped, satisfying the
     # kernel's no-vmap rule. GV_BENCH_STEM=xla restores plain convs.
     stem = os.environ.get("GV_BENCH_STEM", "pallas")
-    # Fused Pallas orientation front end (ops/pallas_orient.py):
-    # crop+standardize+s2d ConvBN_0 in one VMEM kernel. Interleaved A/B
-    # at the 64-rig vision fleet shape: 6725 vs 6191 median fused fps
-    # (+8.6%, 8 tight windows each; tools/bench_orient_ab.py, round 5).
-    # GV_BENCH_ORIENT_STEM=xla restores the einsum crop chain.
-    orient_stem = os.environ.get("GV_BENCH_ORIENT_STEM", "pallas")
+    # Fused Pallas orientation front end (ops/pallas_orient.py): the
+    # round-5 "+8.6%" A/B win was an artifact of a Mosaic RefReshaper
+    # miscompile (the kernel read the wrong VMEM; tools/orient_bisect.py)
+    # — with the kernel CORRECTED, the interleaved A/B is a NEGATIVE:
+    # 5999 (pallas) vs 6354 (xla) median fused fps, so the default is
+    # back to the einsum crop chain (docs/PERF.md round-5 postmortem).
+    # GV_BENCH_ORIENT_STEM=pallas selects the fixed kernel.
+    orient_stem = os.environ.get("GV_BENCH_ORIENT_STEM", "xla")
     # max_static_depth=16: the static-compacted kNN (a round-3 perf win;
     # compaction is opt-in since the config default moved to
     # max_detections for reference parity). The scene pool's static

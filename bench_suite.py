@@ -140,14 +140,14 @@ def main():
     # holds. GV_BENCH_STEM=xla restores the plain conv path.
     # max_static_depth=16: the static-compacted kNN perf opt-in (the
     # config default is now max_detections for reference parity).
-    # orientation_stem_backend="pallas": the fused crop+standardize+s2d
-    # front end measured +8.6% on the 64-rig vision fleet step
-    # (tools/bench_orient_ab.py: 6725 vs 6191 median fused fps, round 5).
+    # orientation_stem_backend stays "xla": the fused pallas front end
+    # is a measured NEGATIVE once its Mosaic miscompile was fixed
+    # (5999 vs 6354 fused fps; docs/PERF.md round-5 postmortem).
     cfg = GridVisionConfig(
         max_points=8192, compute_dtype="bfloat16", max_static_depth=16,
         detector_stem_backend=os.environ.get("GV_BENCH_STEM", "pallas"),
         orientation_stem_backend=os.environ.get("GV_BENCH_ORIENT_STEM",
-                                                "pallas"))
+                                                "xla"))
     eng = pipeline.Engine(cfg, seed=0)
     obs1 = jax.jit(functools.partial(synth_obs, cfg=cfg))(
         jax.random.PRNGKey(7))

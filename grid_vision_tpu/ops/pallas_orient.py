@@ -149,7 +149,8 @@ def _orient_kernel(rig_ref, valid_ref,            # scalar prefetch
                    xlo_ref, xhi_ref, xfr_ref,
                    wmat_ref, s_ref, t_ref,
                    out_ref, scr_pl_ref, scr_i2c_ref,
-                   *, size: int, h: int, w: int, dt, interp: bool):
+                   *, size: int, h: int, w: int, dt, interp: bool,
+                   debug_stage: str | None = None):
     q = size // PIX_STRIDE
     qq = q * q
     fch = wmat_ref.shape[1]
@@ -192,6 +193,11 @@ def _orient_kernel(rig_ref, valid_ref,            # scalar prefetch
         s1[c] = jnp.sum(cf)
         s2[c] = jnp.sum(cf * cf)
 
+    if debug_stage == "crop":                      # (1, 3, size, size)
+        for c in range(3):
+            out_ref[0, c] = crop[c].astype(jnp.float32)
+        return
+
     # ---- standardization statistics (single-pass f32 moments, the
     # bf16 branch of preprocess._standardize) ---------------------------
     npix = float(size * size)
@@ -213,38 +219,77 @@ def _orient_kernel(rig_ref, valid_ref,            # scalar prefetch
                 scr_pl_ref[c * 64 + mi * 8 + mj, 0:q, 0:q] = std[
                     mi * q:(mi + 1) * q, mj * q:(mj + 1) * q]
 
+    if debug_stage == "stats":                     # (1, 8, 128) f32
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        val = jnp.zeros((8, 128), jnp.float32)
+        for c in range(3):
+            val = jnp.where(row == c, mean[c], val)
+            val = jnp.where(row == 4 + c, inv[c], val)
+        out_ref[0] = val
+        return
+    if debug_stage == "planes":                    # scr_pl snapshot
+        out_ref[0] = scr_pl_ref[:].astype(jnp.float32)
+        return
+
     # ---- im2col of the 12x12/s8 conv: every tap a static slice --------
+    # The i2c scratch planes are PADDED to a sublane multiple (qp >= q,
+    # qp % 8 == 0): Mosaic's minor-dim-merging reshape VIEW silently
+    # reads the wrong lanes when the merged dims are not tile-aligned
+    # (q = 28 broke; the stem's 104 worked) — measured on hardware by
+    # tools/orient_bisect.py (i2c_raw exact, i2c garbage). Junk in the
+    # pad columns only reaches the pad OUTPUT pixels of the matmul
+    # (contraction is over the tap dim), which the final slice drops.
+    qp = scr_i2c_ref.shape[-1]
+    if debug_stage in ("i2c_raw", "i2c"):          # pad junk -> NaN
+        scr_i2c_ref[:] = jnp.zeros(scr_i2c_ref.shape, dt)
     for uy in range(PIX_K):
         offy, my = uy // PIX_STRIDE, uy % PIX_STRIDE
         for ux in range(PIX_K):
             offx, mx = ux // PIX_STRIDE, ux % PIX_STRIDE
             for c in range(3):
                 row = (uy * PIX_K + ux) * 3 + c
-                scr_i2c_ref[row] = scr_pl_ref[
+                scr_i2c_ref[row, 0:q, 0:q] = scr_pl_ref[
                     c * 64 + my * 8 + mx, offy:offy + q, offx:offx + q]
 
-    if interp:
-        i2c = scr_i2c_ref[:].reshape(PIX_K * PIX_K * 3, qq)
-    else:
-        i2c = scr_i2c_ref.reshape(PIX_K * PIX_K * 3, qq)[:]
-    acc = jax.lax.dot_general(                     # (QQ, F) f32
-        i2c, wmat_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    # ---- BN + relu -----------------------------------------------------
+    if debug_stage == "i2c_raw":                  # (1, 432, qp, qp) f32
+        out_ref[0] = scr_i2c_ref[:].astype(jnp.float32)
+        return
+    # conv epilogue WITHOUT flattening the scratch: Mosaic's minor-dim-
+    # merging RefReshaper silently reads the wrong VMEM under this
+    # kernel's PrefetchScalarGridSpec (hardware-measured by
+    # orient_bisect.py: scratch contents exact, flattened view garbage
+    # at raw-pixel magnitude, tile-aligned or not — unlike
+    # pallas_stem's plain-grid kernels where the same view is
+    # bit-exact), and a lane concat of the row planes hits the known
+    # offset-mismatch trap (ops/pallas_csp.py). So: one matmul PER
+    # OUTPUT ROW on that row's (432, qp) tap plane. (A row-major
+    # scratch that would make the slices relayout-free is ALSO
+    # unlowerable: the (1,q,q)->(q,1,q) store cast is rejected for
+    # bf16 tiles.) 28 small MXU ops, a minor share of kernel FLOPs
+    # next to the (H|W, size) resize matmuls.
+    i2c3 = scr_i2c_ref[:]                          # (432, qp, qp)
+    if debug_stage == "i2c":                      # (1, 432, qp, qp) f32
+        out_ref[0] = i2c3.astype(jnp.float32)
+        return
     s = s_ref[:]                                   # (1, F) f32
     t = t_ref[:]
-    y = jnp.maximum(acc * s + t, 0.0)
+    wmat = wmat_ref[:]
+    ok = valid_ref[pl.program_id(0)] > 0
     # invalid crop == all-zero standardized input: conv(0)=0 -> relu(t)
-    y0 = jnp.broadcast_to(jnp.maximum(t, 0.0), (qq, fch))
-    y = jnp.where(valid_ref[pl.program_id(0)] > 0, y, y0)
-    out_ref[0] = y.astype(dt).reshape(q, q, fch)
+    y0 = jnp.broadcast_to(jnp.maximum(t, 0.0), (q, fch))
+    for py in range(q):
+        acc = jax.lax.dot_general(                 # (qp, F) f32
+            i2c3[:, py, :], wmat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = jnp.maximum(acc * s + t, 0.0)[0:q]     # drop pad pixels
+        out_ref[0, py] = jnp.where(ok, y, y0).astype(dt)
 
 
 def orient_front_pallas(images: jnp.ndarray, boxes_xyxy: jnp.ndarray,
                         valid: jnp.ndarray, rig_idx: jnp.ndarray,
                         consts, size: int,
-                        compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                        compute_dtype=jnp.bfloat16,
+                        debug_stage: str | None = None) -> jnp.ndarray:
     """(R, H, W, 3)|(R, 3, H, W) frames + (N, 4) compacted boxes +
     (N,) validity + (N,) source-rig indices -> (N, S/8, S/8, F)
     post-ConvBN_0 activations of OrientationNetS2D (s2d_fold form).
@@ -278,7 +323,14 @@ def orient_front_pallas(images: jnp.ndarray, boxes_xyxy: jnp.ndarray,
 
     interp = jax.default_backend() != "tpu"
     kernel = functools.partial(_orient_kernel, size=size, h=h, w=w,
-                               dt=dt, interp=interp)
+                               dt=dt, interp=interp,
+                               debug_stage=debug_stage)
+    # diagnostic taps (tools/orient_bisect.py): per-stage block shapes
+    pq = max(32, -(-(q + 1) // 8) * 8)
+    qp = -(-q // 8) * 8
+    dbg_shapes = {"crop": (1, 3, size, size), "stats": (1, 8, 128),
+                  "planes": (1, 192, pq, pq), "i2c": (1, 432, qp, qp),
+                  "i2c_raw": (1, 432, qp, qp)}
     # scalar-prefetch index_map: crop i reads its rig's frame; the
     # per-crop operands block along the crop axis; constants are whole.
     per_crop = [
@@ -296,19 +348,29 @@ def orient_front_pallas(images: jnp.ndarray, boxes_xyxy: jnp.ndarray,
                                lambda i, rig, va: (rig[i], 0, 0, 0),
                                memory_space=pltpu.VMEM)]
                  + per_crop + whole,
-        out_specs=pl.BlockSpec((1, q, q, fch),
-                               lambda i, rig, va: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            dbg_shapes[debug_stage] if debug_stage else (1, q, q, fch),
+            lambda i, rig, va, _nd=(len(dbg_shapes[debug_stage])
+                                    if debug_stage else 4):
+            (i,) + (0,) * (_nd - 1),
+            memory_space=pltpu.VMEM),
         scratch_shapes=[
             # phase planes need q+1 rows/cols (tap offsets {0,1});
             # sized from q so network_height > 248 doesn't OOB-slice
             # (min 32 keeps the shipped-config layout unchanged)
             pltpu.VMEM((192, max(32, -(-(q + 1) // 8) * 8),
                         max(32, -(-(q + 1) // 8) * 8)), dt),
-            pltpu.VMEM((PIX_K * PIX_K * 3, q, q), dt),
+            # i2c tap planes; see the RefReshaper note in the kernel
+            # for why there is no flattened one-matmul form of this
+            pltpu.VMEM((PIX_K * PIX_K * 3, -(-q // 8) * 8,
+                        -(-q // 8) * 8), dt),
         ],
     )
-    out_sds = _out_sds((n, q, q, fch), dt, img_p)
+    if debug_stage:
+        out_sds = jax.ShapeDtypeStruct(
+            (n,) + dbg_shapes[debug_stage][1:], jnp.float32)
+    else:
+        out_sds = _out_sds((n, q, q, fch), dt, img_p)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

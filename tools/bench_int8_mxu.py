@@ -35,6 +35,26 @@ def build_matmul(dtype_in, dtype_acc, m, k, n, bm, bk, bn,
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
+    if bk >= k:
+        # whole-K: one dot per (i, j) block, no accumulate-revisit —
+        # the fused-ladder regime (weights resident, no k-grid
+        # overhead). This is the honest gate number.
+        def kernel(a_ref, b_ref, o_ref):
+            o_ref[:] = jnp.dot(a_ref[:], b_ref[:],
+                               preferred_element_type=dtype_acc)
+
+        return pl.pallas_call(
+            kernel,
+            grid=(m // bm, n // bn),
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
+                pl.BlockSpec((k, bn), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((m, n), dtype_acc),
+            interpret=interpret,
+        )
+
     def kernel(a_ref, b_ref, o_ref):
         @pl.when(pl.program_id(2) == 0)
         def _init():

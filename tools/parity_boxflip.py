@@ -105,7 +105,7 @@ def main():
         vision_weights_file="weights/orientation.npz")
     prod_cfg = GridVisionConfig(
         compute_dtype="bfloat16", detector_stem_backend=stem,
-        orientation_stem_backend=stem, max_static_depth=16, **common)
+        orientation_stem_backend="xla", max_static_depth=16, **common)
     comp_cfg = GridVisionConfig(compute_dtype="float32", **common)
     prod = pipeline.Engine(prod_cfg, seed=0)
     comp = pipeline.Engine(comp_cfg, seed=0)

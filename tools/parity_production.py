@@ -72,9 +72,10 @@ def build_engines(mode: str, args):
         compute_dtype="bfloat16",
         orientation_compute=args.orientation_compute,
         detector_stem_backend="pallas" if not args.cpu else "xla",
-        # round 5 adopted the fused Pallas orientation front end as the
-        # bench default (tools/bench_orient_ab.py: +12.5% headline)
-        orientation_stem_backend="pallas" if not args.cpu else "xla",
+        # round 5 briefly adopted the fused Pallas orientation front
+        # end, then reverted: the A/B win was a Mosaic miscompile
+        # artifact; the FIXED kernel measures -5.6% (docs/PERF.md)
+        orientation_stem_backend="xla",
         max_static_depth=16,
         **common)
     # The compat-grade exact configuration parity_report.py's oracle
